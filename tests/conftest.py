@@ -16,3 +16,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,161 @@
+"""Compilation pipeline: prepared graph -> executable sampling program.
+
+Stage two of compilation (reference ``tsim/compile/pipeline.py``): split the
+prepared graph into connected components, classify direct components, plug
+outputs per mode, stabilizer-decompose, compile term tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.graph_prep import (
+    ConnectedComponent,
+    classify_direct,
+    connected_components,
+    get_params,
+)
+from ..core.types import CompiledComponent, CompiledProgram, SamplingGraph
+from ..zx.graph import ZXGraph
+from ..zx.simplify import full_reduce
+from .compile import CompiledScalarGraphs, compile_scalar_graphs
+from .stabrank import find_stab
+
+DecompositionMode = Literal["sequential", "joint"]
+DecompositionStrategy = Literal["cat5", "bss", "cutting"]
+
+
+def compile_program(
+    prepared: SamplingGraph,
+    *,
+    mode: DecompositionMode,
+    strategy: DecompositionStrategy = "cat5",
+) -> CompiledProgram:
+    components = connected_components(prepared.graph)
+    f_indices_global = _get_f_indices(prepared.graph)
+    num_outputs = prepared.num_outputs
+
+    direct_entries: list[tuple[int, int, bool]] = []
+    compiled_components: list[CompiledComponent] = []
+    compiled_output_order: list[int] = []
+
+    for component in sorted(components, key=lambda c: len(c.output_indices)):
+        direct = classify_direct(component)
+        if direct is not None:
+            f_idx, flip = direct
+            direct_entries.append((component.output_indices[0], f_idx, flip))
+        else:
+            compiled_components.append(
+                _compile_component(
+                    component=component,
+                    f_indices_global=f_indices_global,
+                    mode=mode,
+                    strategy=strategy,
+                )
+            )
+            compiled_output_order.extend(component.output_indices)
+
+    direct_entries.sort()
+    direct_output_order = [e[0] for e in direct_entries]
+    direct_f_indices = [e[1] for e in direct_entries]
+    direct_flips = [e[2] for e in direct_entries]
+
+    output_order = np.array(direct_output_order + compiled_output_order, dtype=np.int32)
+    reindex = np.argsort(output_order)
+    is_identity = np.array_equal(reindex, np.arange(len(output_order)))
+
+    return CompiledProgram(
+        components=tuple(compiled_components),
+        direct_f_indices=jnp.array(direct_f_indices, dtype=jnp.int32),
+        direct_flips=jnp.array(direct_flips, dtype=jnp.bool_),
+        output_order=jnp.asarray(output_order),
+        output_reindex=None if is_identity else jnp.asarray(reindex),
+        num_outputs=num_outputs,
+        num_detectors=prepared.num_detectors,
+    )
+
+
+def _get_f_indices(graph: ZXGraph) -> list[int]:
+    return sorted(
+        int(p[1:]) for p in get_params(graph) if isinstance(p, str) and p.startswith("f")
+    )
+
+
+def _remove_phase_terms(graph: ZXGraph) -> None:
+    """Drop parametrized global-phase terms (irrelevant pre-decomposition)."""
+    graph.scalar.phasevars_halfpi = {}
+    graph.scalar.phasevars_pi_pair = []
+
+
+def _compile_component(
+    component: ConnectedComponent,
+    f_indices_global: list[int],
+    mode: DecompositionMode,
+    strategy: DecompositionStrategy = "cat5",
+) -> CompiledComponent:
+    graph = component.graph
+    output_indices = component.output_indices
+    num_component_outputs = len(graph.outputs())
+
+    component_f_set = set(_get_f_indices(graph))
+    f_selection = [i for i, fi in enumerate(f_indices_global) if fi in component_f_set]
+    f_selected_values = [f_indices_global[i] for i in f_selection]
+
+    outputs_to_plug = (
+        list(range(num_component_outputs + 1))
+        if mode == "sequential"
+        else [0, num_component_outputs]
+    )
+
+    component_m_chars = [f"m{i}" for i in output_indices]
+    plugged_graphs = _plug_outputs(graph, component_m_chars, outputs_to_plug)
+
+    compiled_graphs: list[CompiledScalarGraphs] = []
+    power2_base: int | None = None
+
+    for num_m_plugged, plugged in zip(outputs_to_plug, plugged_graphs):
+        g_copy = plugged.copy()
+        full_reduce(g_copy, paramSafe=True)
+        g_copy.normalize()
+
+        if power2_base is None:
+            power2_base = g_copy.scalar.power2
+        g_copy.scalar.add_power(-power2_base)
+
+        _remove_phase_terms(g_copy)
+
+        param_names = [f"f{i}" for i in f_selected_values]
+        param_names += [f"m{output_indices[j]}" for j in range(num_m_plugged)]
+
+        g_list = find_stab(g_copy, strategy=strategy)
+        if len(g_list) == 1:
+            _remove_phase_terms(g_list[0])
+        compiled_graphs.append(compile_scalar_graphs(g_list, param_names))
+
+    return CompiledComponent(
+        output_indices=tuple(output_indices),
+        f_selection=jnp.array(f_selection, dtype=jnp.int32),
+        compiled_scalar_graphs=tuple(compiled_graphs),
+    )
+
+
+def _plug_outputs(
+    graph: ZXGraph, m_chars: list[str], outputs_to_plug: list[int]
+) -> list[ZXGraph]:
+    """Plug the first k outputs with parametrized <m| effects, trace the rest."""
+    graphs: list[ZXGraph] = []
+    num_outputs = len(graph.outputs())
+    for num_plugged in outputs_to_plug:
+        g = graph.copy()
+        output_vertices = list(g.outputs())
+        effect = "0" * num_plugged + "+" * (num_outputs - num_plugged)
+        g.apply_effect(effect)
+        for i, v in enumerate(output_vertices[:num_plugged]):
+            g.set_phase(v, m_chars[i])
+        # '+' plugs implement the trace: compensate their 1/sqrt(2).
+        g.scalar.add_power(num_outputs - num_plugged)
+        graphs.append(g)
+    return graphs

@@ -256,38 +256,33 @@ def c_zyx(b, qubit):
 
 
 def c_nxyz(b, qubit):
+    sqrt_x(b, qubit)
     s_dag(b, qubit)
-    sqrt_y_dag(b, qubit)
-    b.graph.scalar.add_phase(F(1, 4))
 
 
 def c_xnyz(b, qubit):
-    s(b, qubit)
-    h(b, qubit)
+    s_dag(b, qubit)
+    sqrt_y(b, qubit)
 
 
 def c_xynz(b, qubit):
     s(b, qubit)
     sqrt_y_dag(b, qubit)
-    b.graph.scalar.add_phase(F(1, 4))
 
 
 def c_nzyx(b, qubit):
     s_dag(b, qubit)
     sqrt_x(b, qubit)
-    b.graph.scalar.add_phase(F(-1, 4))
 
 
 def c_znyx(b, qubit):
-    s(b, qubit)
     sqrt_x(b, qubit)
-    b.graph.scalar.add_phase(F(-1, 4))
+    sqrt_y_dag(b, qubit)
 
 
 def c_zynx(b, qubit):
     s(b, qubit)
     sqrt_x_dag(b, qubit)
-    b.graph.scalar.add_phase(F(1, 4))
 
 
 # --------------------------------------------------------- two-qubit gates

@@ -1,0 +1,608 @@
+"""Compiled samplers: autoregressive measurement/detector sampling on device.
+
+Semantics follow reference ``tsim/sampler.py`` (autoregressive chain-rule
+sampling over the plugged-circuit ladder, norm monitoring, uniform batch
+sizes for JIT shape stability, direct fast paths, postselection prefilter),
+with TPU-appropriate host/device transfer handling (no pinned-memory API —
+a single device_get after an on-device concatenation).
+"""
+
+from __future__ import annotations
+
+import warnings
+from math import ceil
+from typing import TYPE_CHECKING, Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .compile.evaluate import evaluate
+from .compile.pipeline import compile_program
+from .core.graph_prep import prepare_graph
+from .core.types import CompiledComponent, CompiledProgram
+from .noise.channels import ChannelSampler
+
+if TYPE_CHECKING:
+    from .circuit import Circuit
+
+
+def _sample_component(
+    component: CompiledComponent,
+    f_params: jax.Array,
+    key: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Autoregressively sample this component's outputs.
+
+    Returns (samples (B, n_outputs), next_key, max_norm_deviation).
+    """
+    batch_size = f_params.shape[0]
+    num_outputs = len(component.compiled_scalar_graphs) - 1
+
+    f_selected = f_params[:, component.f_selection].astype(jnp.bool_)
+    m_accumulated = jnp.zeros((batch_size, num_outputs), dtype=jnp.bool_)
+
+    prev = jnp.abs(evaluate(component.compiled_scalar_graphs[0], f_selected))
+
+    ones = jnp.ones((batch_size, 1), dtype=jnp.bool_)
+    zero = jnp.zeros((1, 1), dtype=jnp.bool_)
+    max_norm_deviation = jnp.array(0.0)
+
+    for i, circuit in enumerate(component.compiled_scalar_graphs[1:]):
+        params = jnp.hstack([f_selected, m_accumulated[:, :i], ones])
+        check_row = jnp.hstack([f_selected[:1], m_accumulated[:1, :i], zero])
+        probs = jnp.abs(evaluate(circuit, jnp.vstack([params, check_row])))
+        p1 = probs[:batch_size]
+        p0_single = probs[-1]
+
+        norm = (p0_single + p1[0]) / prev[0]
+        max_norm_deviation = jnp.maximum(max_norm_deviation, jnp.abs(norm - 1.0))
+
+        key, subkey = jax.random.split(key)
+        bits = jax.random.bernoulli(subkey, p=jnp.clip(p1 / prev, 0.0, 1.0))
+        m_accumulated = m_accumulated.at[:, i].set(bits)
+        prev = jnp.where(bits, p1, prev - p1)
+
+    return m_accumulated, key, max_norm_deviation
+
+
+_sample_component_jit = jax.jit(_sample_component)
+
+
+def sample_component(component, f_params, key):
+    if len(component.output_indices) <= 1:
+        return _sample_component(component, f_params, key)
+    return _sample_component_jit(component, f_params, key)
+
+
+def sample_program(
+    program: CompiledProgram, f_params: jax.Array, key: jax.Array
+) -> jax.Array:
+    """Sample all outputs; returns (B, num_outputs) bools in original order."""
+    results: list[jax.Array] = []
+    if program.num_outputs == 0:
+        return jnp.zeros((f_params.shape[0], 0), dtype=jnp.bool_)
+
+    if len(program.direct_f_indices) > 0:
+        direct_bits = (
+            f_params[:, program.direct_f_indices].astype(jnp.bool_)
+            ^ program.direct_flips
+        )
+        results.append(direct_bits)
+
+    for component in program.components:
+        samples, key, max_norm_deviation = sample_component(component, f_params, key)
+        if np.isclose(max_norm_deviation, 1):
+            raise ValueError(
+                "A vanishing marginal probability distribution was encountered "
+                "(normalization 0). This is likely the result of an underflow "
+                "error."
+            )
+        if max_norm_deviation > 1e-5:
+            warnings.warn(
+                "A marginal probability was not normalized correctly "
+                f"(normalization deviated from 1 by {float(max_norm_deviation):.1e}). "
+                "This is likely a floating point precision issue.",
+                stacklevel=2,
+            )
+        results.append(samples)
+
+    combined = jnp.concatenate(results, axis=1)
+    if program.output_reindex is not None:
+        combined = combined[:, program.output_reindex]
+    return combined
+
+
+def _available_host_memory() -> int:
+    try:
+        import psutil
+
+        return int(psutil.virtual_memory().available)
+    except Exception:
+        return 8 * 1024**3
+
+
+class _CompiledSamplerBase:
+    """Shared compile-and-sample machinery."""
+
+    def __init__(
+        self,
+        circuit: "Circuit",
+        *,
+        sample_detectors: bool,
+        mode: Literal["sequential", "joint"],
+        strategy: str = "cat5",
+        seed: int | None = None,
+    ):
+        if seed is None:
+            seed = int(np.random.default_rng().integers(0, 2**30))
+        self._key = jax.random.key(seed)
+
+        prepared = prepare_graph(circuit, sample_detectors=sample_detectors)
+        self._program = compile_program(prepared, mode=mode, strategy=strategy)
+
+        channel_seed = int(np.random.default_rng(seed).integers(0, 2**30))
+        self._channel_sampler = ChannelSampler(
+            channel_probs=prepared.channel_probs,
+            error_transform=prepared.error_transform,
+            seed=channel_seed,
+        )
+
+        self.circuit = circuit
+        self._num_detectors = prepared.num_detectors
+
+        prog = self._program
+        self._direct_f_indices = np.asarray(prog.direct_f_indices)
+        self._direct_flips = np.asarray(prog.direct_flips, dtype=np.bool_)
+        self._direct_reindex = (
+            np.asarray(prog.output_reindex) if prog.output_reindex is not None else None
+        )
+        n_direct = len(self._direct_f_indices)
+        self._direct_zero_copy = (
+            n_direct > 0
+            and self._direct_reindex is None
+            and not self._direct_flips.any()
+            and np.array_equal(self._direct_f_indices, np.arange(n_direct))
+        )
+        self._direct_global_indices = np.asarray(
+            prog.output_order[:n_direct], dtype=np.int32
+        )
+        self._direct_output_mask = np.zeros(prog.num_outputs, dtype=np.bool_)
+        if n_direct > 0:
+            self._direct_output_mask[self._direct_global_indices] = True
+        self._direct_detector_mask = self._direct_output_mask[: self._num_detectors].copy()
+
+    # ---------------------------------------------------------------- direct
+    def _compute_direct_outputs(self, f_params_np: np.ndarray) -> np.ndarray:
+        batch = f_params_np.shape[0]
+        num_outputs = self._program.num_outputs
+        n_direct = len(self._direct_f_indices)
+        if n_direct == 0:
+            return np.zeros((batch, num_outputs), dtype=np.bool_)
+        if self._direct_zero_copy and n_direct == num_outputs:
+            return f_params_np[:, :n_direct].view(np.bool_).copy()
+        raw = (
+            f_params_np[:, :n_direct].view(np.bool_)
+            if self._direct_zero_copy
+            else (f_params_np[:, self._direct_f_indices] ^ self._direct_flips).view(np.bool_)
+        )
+        out = np.zeros((batch, num_outputs), dtype=np.bool_)
+        out[:, self._direct_global_indices] = raw
+        return out
+
+    def _compute_reference_sample(self) -> np.ndarray:
+        num_f = self._channel_sampler.signature_matrix.shape[1]
+        f_ref = np.zeros((1, num_f), dtype=np.uint8)
+        if not self._program.components:
+            return self._compute_direct_outputs(f_ref)[0]
+        self._key, subkey = jax.random.split(self._key)
+        return np.asarray(
+            sample_program(self._program, jnp.asarray(f_ref), subkey)[0], dtype=np.bool_
+        )
+
+    # -------------------------------------------------------------- batching
+    def _peak_bytes_per_sample(self) -> int:
+        peak = 0
+        for component in self._program.components:
+            for circuit in component.compiled_scalar_graphs:
+                G = circuit.num_graphs
+                max_a = circuit.node_phases.phases.shape[1]
+                max_b = circuit.halfpi_phases.coeffs.shape[1]
+                max_c = circuit.pi_products.psi_const.shape[1]
+                max_d = circuit.phase_pairs.alpha.shape[1]
+                largest = max(max_a * 16, max_b * 4, max_c * 4, max_d * 16)
+                peak = max(peak, G * largest * 3)
+        return max(peak, 1)
+
+    def _estimate_batch_size(self) -> int:
+        device = jax.devices()[0]
+        if device.platform in ("gpu", "tpu"):
+            try:
+                stats = device.memory_stats()
+                available = stats.get("bytes_limit", 8 * 1024**3) - stats.get(
+                    "bytes_in_use", 0
+                )
+            except Exception:
+                available = 8 * 1024**3
+        else:
+            available = _available_host_memory()
+        return max(1, int(available * 0.5) // self._peak_bytes_per_sample())
+
+    def _resolve_batch_size(
+        self, shots: int, batch_size: int | None, *, compute_reference: bool
+    ) -> int:
+        if batch_size is None:
+            max_batch_size = self._estimate_batch_size()
+            num_batches = max(1, ceil(shots / max_batch_size))
+            batch_size = ceil(shots / num_batches)
+        if compute_reference and batch_size * ceil(shots / batch_size) == shots:
+            batch_size += 1
+        return batch_size
+
+    # -------------------------------------------------------------- sampling
+    def _sample_batches(
+        self,
+        shots: int,
+        batch_size: int | None = None,
+        *,
+        compute_reference: bool = False,
+    ):
+        if shots < 0:
+            raise ValueError(f"shots must be non-negative, got {shots}")
+        if batch_size is not None and batch_size < 1:
+            raise ValueError(f"batch_size must be at least 1, got {batch_size}")
+
+        if shots == 0:
+            empty = np.empty((0, self._program.num_outputs), dtype=np.bool_)
+            if compute_reference:
+                return empty, np.zeros(self._program.num_outputs, dtype=np.bool_)
+            return empty
+
+        if not self._program.components:
+            samples = self._sample_direct(shots)
+            if compute_reference:
+                return samples, self._compute_reference_sample()
+            return samples
+
+        if batch_size is None:
+            max_batch_size = self._estimate_batch_size()
+            num_batches = max(1, ceil(shots / max_batch_size))
+            batch_size = ceil(shots / num_batches)
+        else:
+            num_batches = ceil(shots / batch_size)
+
+        if compute_reference and batch_size * num_batches == shots:
+            batch_size += 1
+
+        batches: list[jax.Array] = []
+        reference: np.ndarray | None = None
+
+        for _ in range(num_batches):
+            f_params_np = self._channel_sampler.sample(batch_size)
+            if compute_reference and reference is None:
+                f_params_np[0] = 0
+            f_params = jnp.asarray(f_params_np)
+            self._key, subkey = jax.random.split(self._key)
+            samples = sample_program(self._program, f_params, subkey)
+            if compute_reference and reference is None:
+                reference = np.asarray(samples[0])
+                samples = samples[1:]
+            batches.append(samples)
+
+        combined = batches[0] if len(batches) == 1 else jnp.concatenate(batches, axis=0)
+        jax.block_until_ready(combined)
+        result = np.asarray(jax.device_get(combined))[:shots]
+
+        if compute_reference:
+            assert reference is not None
+            return result, reference
+        return result
+
+    def _sample_batches_with_postselection(
+        self,
+        shots: int,
+        batch_size: int | None,
+        *,
+        postselection_mask: np.ndarray,
+        compute_reference: bool = False,
+        xor_detector_ref: bool = False,
+    ):
+        """Postselected sampling: direct-discarded shots never reach JAX."""
+        if shots < 0:
+            raise ValueError(f"shots must be non-negative, got {shots}")
+        if batch_size is not None and batch_size < 1:
+            raise ValueError(f"batch_size must be at least 1, got {batch_size}")
+
+        num_outputs = self._program.num_outputs
+        if shots == 0:
+            empty = np.empty((0, num_outputs), dtype=np.bool_)
+            empty_discarded = np.empty(0, dtype=np.bool_)
+            if compute_reference:
+                return empty, np.zeros(num_outputs, dtype=np.bool_), empty_discarded
+            return empty, None, empty_discarded
+
+        postselect_direct = postselection_mask & self._direct_detector_mask
+
+        if not self._program.components:
+            samples = self._sample_direct(shots)
+            if compute_reference:
+                reference = self._compute_reference_sample()
+                if xor_detector_ref:
+                    samples[:, : self._num_detectors] ^= reference[: self._num_detectors]
+                return samples, reference, np.zeros(shots, dtype=np.bool_)
+            return samples, None, np.zeros(shots, dtype=np.bool_)
+
+        if batch_size is None:
+            batch_size = self._resolve_batch_size(shots, None, compute_reference=False)
+
+        reference: np.ndarray | None = None
+        if compute_reference:
+            reference = self._compute_reference_sample()
+
+        result = np.zeros((shots, num_outputs), dtype=np.bool_)
+        was_discarded = np.zeros(shots, dtype=np.bool_)
+        survivor_f: list[np.ndarray] = []
+        survivor_idx: list[int] = []
+        shot_idx = 0
+
+        def _dispatch(f_batch, indices, n_valid):
+            self._key, subkey = jax.random.split(self._key)
+            out = np.asarray(sample_program(self._program, jnp.asarray(f_batch), subkey))
+            result[indices[:n_valid]] = out[:n_valid]
+
+        def _flush(final=False):
+            nonlocal survivor_f, survivor_idx
+            while len(survivor_f) >= batch_size:
+                _dispatch(np.stack(survivor_f[:batch_size]), survivor_idx[:batch_size], batch_size)
+                survivor_f = survivor_f[batch_size:]
+                survivor_idx = survivor_idx[batch_size:]
+            if final and survivor_f:
+                n_valid = len(survivor_f)
+                stack = np.stack(survivor_f)
+                f_batch = np.empty((batch_size, stack.shape[1]), dtype=stack.dtype)
+                f_batch[:n_valid] = stack
+                f_batch[n_valid:] = stack[0]
+                _dispatch(f_batch, survivor_idx, n_valid)
+                survivor_f = []
+                survivor_idx = []
+
+        while shot_idx < shots:
+            chunk = min(batch_size, shots - shot_idx)
+            f_params_np = self._channel_sampler.sample(chunk)
+            direct_full = self._compute_direct_outputs(f_params_np)
+            det_cols = direct_full[:, : self._num_detectors]
+            if xor_detector_ref and reference is not None:
+                det_cols = det_cols ^ reference[: self._num_detectors]
+            discarded = (det_cols & postselect_direct).any(axis=1)
+
+            result[shot_idx : shot_idx + chunk, : self._num_detectors] = direct_full[
+                :, : self._num_detectors
+            ]
+            was_discarded[shot_idx : shot_idx + chunk] = discarded
+            survivors = np.flatnonzero(~discarded)
+            if survivors.size:
+                survivor_f.extend(f_params_np[survivors])
+                survivor_idx.extend((shot_idx + survivors).tolist())
+            shot_idx += chunk
+            _flush()
+        _flush(final=True)
+
+        if xor_detector_ref and reference is not None:
+            det_ref = reference[: self._num_detectors]
+            surv = ~was_discarded
+            result[surv, : self._num_detectors] ^= det_ref
+            result[was_discarded, : self._num_detectors] ^= (
+                det_ref & self._direct_detector_mask
+            )
+
+        if compute_reference:
+            assert reference is not None
+            return result, reference, was_discarded
+        return result, None, was_discarded
+
+    def _sample_direct(self, shots: int) -> np.ndarray:
+        f_params = self._channel_sampler.sample(shots)
+        if self._direct_zero_copy:
+            return f_params[:, : len(self._direct_f_indices)].view(np.bool_)
+        result = f_params[:, self._direct_f_indices] ^ self._direct_flips
+        if self._direct_reindex is not None:
+            result = result[:, self._direct_reindex]
+        return result.view(np.bool_)
+
+    def __repr__(self) -> str:
+        n_direct = len(self._program.direct_f_indices)
+        c_graphs, c_params = [], []
+        a = b = c = d = 0
+        num_outputs = []
+        total_bytes = 0
+        for comp in self._program.components:
+            for circ in comp.compiled_scalar_graphs:
+                num_outputs.append(len(comp.output_indices))
+                c_graphs.append(circ.num_graphs)
+                c_params.append(circ.n_params)
+                a += circ.node_phases.phases.size
+                b += circ.halfpi_phases.coeffs.size
+                c += circ.pi_products.psi_const.size
+                d += circ.phase_pairs.alpha.size + circ.phase_pairs.beta.size
+                total_bytes += sum(
+                    v.nbytes
+                    for v in jax.tree_util.tree_leaves(circ)
+                    if isinstance(v, jax.Array)
+                )
+        error_bits = sum(ch.num_bits for ch in self._channel_sampler.channels)
+
+        def fmt(n):
+            if n < 1024:
+                return f"{n} B"
+            if n < 1024**2:
+                return f"{n / 1024:.1f} kB"
+            return f"{n / 1024**2:.1f} MB"
+
+        return (
+            f"{type(self).__name__}({n_direct} direct, {int(np.sum(c_graphs))} graphs, "
+            f"{error_bits} error channel bits, "
+            f"{max(num_outputs) if num_outputs else 0} outputs for largest cc, "
+            f"≤ {max(c_params) if c_params else 0} parameters, {a} A terms, "
+            f"{b} B terms, {c} C terms, {d} D terms, {fmt(total_bytes)})"
+        )
+
+
+class CompiledMeasurementSampler(_CompiledSamplerBase):
+    """Samples measurement outcomes (sequential ladder)."""
+
+    def __init__(self, circuit, *, strategy: str = "cat5", seed: int | None = None):
+        super().__init__(
+            circuit, sample_detectors=False, mode="sequential", seed=seed,
+            strategy=strategy,
+        )
+
+    def sample(self, shots: int, *, batch_size: int | None = None) -> np.ndarray:
+        return self._sample_batches(shots, batch_size)
+
+
+def _maybe_bit_pack(array: np.ndarray, *, bit_packed: bool) -> np.ndarray:
+    if not bit_packed:
+        return array
+    return np.packbits(array.astype(np.bool_), axis=1, bitorder="little")
+
+
+class CompiledDetectorSampler(_CompiledSamplerBase):
+    """Samples detector and observable outcomes."""
+
+    def __init__(self, circuit, *, strategy: str = "cat5", seed: int | None = None):
+        super().__init__(
+            circuit, sample_detectors=True, mode="sequential", seed=seed,
+            strategy=strategy,
+        )
+
+    def sample(
+        self,
+        shots: int,
+        *,
+        batch_size: int | None = None,
+        prepend_observables: bool = False,
+        append_observables: bool = False,
+        separate_observables: bool = False,
+        bit_packed: bool = False,
+        use_detector_reference_sample: bool = False,
+        use_observable_reference_sample: bool = False,
+        postselection_mask: np.ndarray | None = None,
+    ):
+        if separate_observables and (prepend_observables or append_observables):
+            raise ValueError(
+                "Can't specify separate_observables=True with "
+                "append_observables=True or prepend_observables=True"
+            )
+        compute_reference = (
+            use_detector_reference_sample or use_observable_reference_sample
+        )
+
+        if postselection_mask is not None:
+            mask = np.asarray(postselection_mask, dtype=np.bool_)
+            if mask.shape != (self._num_detectors,):
+                raise ValueError(
+                    f"postselection_mask must have shape ({self._num_detectors},), "
+                    f"got {mask.shape}"
+                )
+            postselection_mask = mask
+            if (
+                not (postselection_mask & self._direct_detector_mask).any()
+                or not self._program.components
+            ):
+                postselection_mask = None
+
+        if postselection_mask is not None:
+            if compute_reference:
+                samples, reference, direct_discarded = (
+                    self._sample_batches_with_postselection(
+                        shots,
+                        batch_size,
+                        postselection_mask=postselection_mask,
+                        compute_reference=True,
+                        xor_detector_ref=use_detector_reference_sample,
+                    )
+                )
+                assert reference is not None
+                if use_observable_reference_sample:
+                    obs_ref = reference[self._num_detectors :]
+                    samples[~direct_discarded, self._num_detectors :] ^= obs_ref
+            else:
+                samples, _, _ = self._sample_batches_with_postselection(
+                    shots, batch_size, postselection_mask=postselection_mask
+                )
+        elif compute_reference:
+            samples, reference = self._sample_batches(
+                shots, batch_size, compute_reference=True
+            )
+            if use_detector_reference_sample:
+                samples[:, : self._num_detectors] ^= reference[: self._num_detectors]
+            if use_observable_reference_sample:
+                samples[:, self._num_detectors :] ^= reference[self._num_detectors :]
+        else:
+            samples = self._sample_batches(shots, batch_size)
+
+        det = samples[:, : self._num_detectors]
+        obs = samples[:, self._num_detectors :]
+
+        if prepend_observables and append_observables:
+            combined = np.concatenate([obs, det, obs], axis=1)
+            return _maybe_bit_pack(combined, bit_packed=bit_packed)
+        if append_observables:
+            return _maybe_bit_pack(samples, bit_packed=bit_packed)
+        if prepend_observables:
+            return _maybe_bit_pack(np.concatenate([obs, det], axis=1), bit_packed=bit_packed)
+        if separate_observables:
+            return (
+                _maybe_bit_pack(det, bit_packed=bit_packed),
+                _maybe_bit_pack(obs, bit_packed=bit_packed),
+            )
+        return _maybe_bit_pack(det, bit_packed=bit_packed)
+
+
+class CompiledStateProbs(_CompiledSamplerBase):
+    """Joint-mode probability estimator: P(state | error sample)."""
+
+    def __init__(
+        self,
+        circuit,
+        *,
+        sample_detectors: bool = False,
+        strategy: str = "cat5",
+        seed: int | None = None,
+    ):
+        super().__init__(
+            circuit, sample_detectors=sample_detectors, mode="joint", seed=seed,
+            strategy=strategy,
+        )
+
+    def probability_of(self, state: np.ndarray, *, batch_size: int) -> np.ndarray:
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be at least 1, got {batch_size}")
+        expected = self._program.num_outputs
+        state = np.asarray(state)
+        if state.shape != (expected,):
+            raise ValueError(f"state must have shape ({expected},), got {state.shape}")
+        f_samples = jnp.asarray(self._channel_sampler.sample(batch_size))
+        p_norm = jnp.ones(batch_size)
+        p_joint = jnp.ones(batch_size)
+
+        if len(self._program.direct_f_indices) > 0:
+            direct_bits = (
+                f_samples[:, self._program.direct_f_indices].astype(jnp.bool_)
+                ^ self._program.direct_flips
+            )
+            n_direct = len(self._program.direct_f_indices)
+            targets = state[np.asarray(self._program.output_order[:n_direct])]
+            p_joint = p_joint * (direct_bits == jnp.asarray(targets)).all(axis=1)
+
+        for component in self._program.components:
+            assert len(component.compiled_scalar_graphs) == 2
+            f_selected = f_samples[:, component.f_selection]
+            norm_circuit, joint_circuit = component.compiled_scalar_graphs
+            p_norm = p_norm * jnp.abs(evaluate(norm_circuit, f_selected))
+            component_state = state[list(component.output_indices)]
+            tiled = jnp.tile(jnp.asarray(component_state), (batch_size, 1))
+            joint_params = jnp.hstack([f_selected, tiled])
+            p_joint = p_joint * jnp.abs(evaluate(joint_circuit, joint_params))
+
+        return np.asarray(p_joint / p_norm)
