@@ -1,0 +1,75 @@
+"""State probabilities of the compiled pipeline vs the statevector oracle.
+
+The central correctness test (mirrors the reference's five-oracle strategy,
+reference ``test/integration/test_sampler.py:480-523``): on random
+noiseless Clifford+T+rotation circuits, exact joint probabilities from the
+compiled joint-mode program must match forced-measurement statevector
+probabilities to 1e-6, for every basis state and every strategy.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import tsim_tpu
+from tsim_tpu.external.vec_sim.vec_sampler import VecSampler
+from tests.helpers.gen import gen_circuit_text
+
+CLIFFORD_T = {
+    "T": 2, "S": 1, "H": 2, "SQRT_X": 1, "SQRT_Y": 1, "CNOT": 2, "CZ": 1,
+    "X": 1, "Z": 1, "Y": 1, "TPP2": 1,
+}
+WITH_ROTATIONS = dict(CLIFFORD_T, **{
+    "R_X(0.31)": 1, "R_Y(0.32)": 1, "R_Z(0.33)": 1, "U3(0.34, 0.21, 0.46)": 1,
+    "R_PAULI2": 1,
+})
+
+
+def assert_state_probs_match(text: str, strategy: str, atol=1e-6, seed=0):
+    c = tsim_tpu.Circuit(text)
+    nq = c.num_qubits
+    sp = c.compile_state_probs(strategy=strategy, seed=seed)
+    oracle = VecSampler(c, seed=seed)
+    total = 0.0
+    for bits in itertools.product([0, 1], repeat=c.num_measurements):
+        expected = oracle.probability_of(bits)
+        got = sp.probability_of(np.array(bits), batch_size=1)[0]
+        assert abs(got - expected) < atol, (bits, got, expected)
+        total += expected
+    assert abs(total - 1) < 1e-9
+
+
+@pytest.mark.parametrize("strategy", ["cat5", "bss", "cutting"])
+@pytest.mark.parametrize("seed", range(4))
+def test_random_clifford_t_circuits(strategy, seed):
+    text = gen_circuit_text(3, 25, gate_weights=CLIFFORD_T, seed=seed)
+    assert_state_probs_match(text, strategy, seed=seed)
+
+
+@pytest.mark.parametrize("strategy", ["cat5", "cutting"])
+@pytest.mark.parametrize("seed", range(4, 7))
+def test_random_rotation_circuits(strategy, seed):
+    text = gen_circuit_text(3, 20, gate_weights=WITH_ROTATIONS, seed=seed)
+    assert_state_probs_match(text, strategy, seed=seed)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_deeper_two_qubit(seed):
+    text = gen_circuit_text(2, 40, gate_weights=WITH_ROTATIONS, seed=seed)
+    assert_state_probs_match(text, "cat5", seed=seed)
+
+
+def test_distillation_style_circuit():
+    theta = -float(np.arccos(np.sqrt(1 / 3)) / np.pi)
+    text = f"""
+        R 0 1
+        R_X({theta}) 0 1
+        T_DAG 0 1
+        CZ 0 1
+        SQRT_X 0
+        T 0
+        R_X({-theta}) 0
+        M 0 1
+    """
+    assert_state_probs_match(text, "cat5")

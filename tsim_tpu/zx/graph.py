@@ -54,6 +54,7 @@ class ZXGraph:
         self.scalar: Scalar = Scalar()
         self._inputs: tuple[int, ...] = ()
         self._outputs: tuple[int, ...] = ()
+        self._bset: frozenset = frozenset()  # inputs | outputs (fast checks)
 
     # ------------------------------------------------------------- vertices
     def add_vertex(
@@ -90,10 +91,10 @@ class ZXGraph:
         del self._qubit[v]
         del self._row[v]
         self._vdata.pop(v, None)
-        if v in self._inputs:
+        if v in self._bset:
             self._inputs = tuple(i for i in self._inputs if i != v)
-        if v in self._outputs:
             self._outputs = tuple(o for o in self._outputs if o != v)
+            self._bset = frozenset(self._inputs) | frozenset(self._outputs)
 
     def vertices(self) -> Iterator[int]:
         return iter(list(self._ty.keys()))
@@ -227,9 +228,14 @@ class ZXGraph:
 
     def set_inputs(self, inputs: Iterable[int]) -> None:
         self._inputs = tuple(inputs)
+        self._bset = frozenset(self._inputs) | frozenset(self._outputs)
 
     def set_outputs(self, outputs: Iterable[int]) -> None:
         self._outputs = tuple(outputs)
+        self._bset = frozenset(self._inputs) | frozenset(self._outputs)
+
+    def is_boundary_registered(self, v: int) -> bool:
+        return v in self._bset
 
     # ------------------------------------------------------------- structure
     def copy(self) -> "ZXGraph":
@@ -245,6 +251,7 @@ class ZXGraph:
         g.scalar = self.scalar.copy()
         g._inputs = self._inputs
         g._outputs = self._outputs
+        g._bset = self._bset
         return g
 
     def adjoint(self) -> "ZXGraph":
@@ -254,6 +261,7 @@ class ZXGraph:
             g._phase[v] = (-g._phase[v]) % 2
         g.scalar = self.scalar.conjugate()
         g._inputs, g._outputs = self._outputs, self._inputs
+        g._bset = frozenset(g._inputs) | frozenset(g._outputs)
         return g
 
     def compose(self, other: "ZXGraph") -> None:
@@ -316,7 +324,7 @@ class ZXGraph:
             self._ty[v] = ty
             self._phase[v] = Fraction(ph)
             self.scalar.add_power(-1)
-        self._outputs = ()
+        self.set_outputs(())
 
     def normalize(self) -> None:
         """Canonicalize phases into [0, 2)."""

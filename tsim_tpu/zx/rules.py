@@ -100,7 +100,7 @@ def _fuse_pair(g: ZXGraph, u: int, v: int, extra_h_loops: int = 0) -> None:
     ``u``, so a pending neighbor that disappears has become ``u`` itself and
     its pending edge is a self-loop.
     """
-    if v in g.outputs() or v in g.inputs():
+    if v in g._bset:
         raise ValueError("cannot fuse a boundary-registered vertex")
     g.remove_edge((u, v))
     g.add_to_phase(u, g.phase(v))
@@ -147,8 +147,7 @@ def fuse_spiders(g: ZXGraph) -> bool:
                 if (
                     g.type(n) == Z
                     and g.edge_type((u, n)) == SIMPLE
-                    and n not in g.outputs()
-                    and n not in g.inputs()
+                    and n not in g._bset
                 ):
                     _fuse_pair(g, u, n)
                     changed = again = True
@@ -164,7 +163,7 @@ def remove_identities(g: ZXGraph) -> bool:
             continue
         if g.type(v) != Z or g.phase(v) != 0 or g.get_params(v):
             continue
-        if v in g.outputs() or v in g.inputs():
+        if v in g._bset:
             continue
         nbrs = g.neighbors(v)
         if len(nbrs) != 2:
@@ -203,21 +202,20 @@ def collect_terminals(g: ZXGraph) -> bool:
     for v in list(g.vertices()):
         if v not in g.types():
             continue
-        if g.type(v) != Z or v in g.outputs() or v in g.inputs():
+        if g.type(v) != Z or v in g._bset:
             continue
         deg = g.degree(v)
         if deg == 0:
+            # A parametric node with a non-dyadic constant phase cannot be
+            # compiled as a phasenode term; leave it for the U3 cutter.
+            if g.get_params(v) and g.phase(v).denominator not in (1, 2, 4):
+                continue
             g.scalar.add_node(g.phase(v), g.get_params(v))
             g.remove_vertex(v)
             changed = True
         elif deg == 1:
             (n,) = g.neighbors(v)
-            if (
-                g.type(n) != Z
-                or g.degree(n) != 1
-                or n in g.outputs()
-                or n in g.inputs()
-            ):
+            if g.type(n) != Z or g.degree(n) != 1 or n in g._bset:
                 continue
             ty = g.edge_type((v, n))
             if ty == SIMPLE:
@@ -247,14 +245,14 @@ def copy_rule(g: ZXGraph) -> bool:
     for u in list(g.vertices()):
         if u not in g.types():
             continue
-        if g.type(u) != Z or u in g.outputs() or u in g.inputs():
+        if g.type(u) != Z or u in g._bset:
             continue
         if g.degree(u) != 1 or g.phase(u).denominator > 1:
             continue
         (v,) = g.neighbors(u)
         if g.edge_type((u, v)) != HADAMARD:
             continue
-        if g.type(v) != Z or v in g.outputs() or v in g.inputs():
+        if g.type(v) != Z or v in g._bset:
             continue
         if g.degree(v) < 2:
             continue  # isolated pair: handled by collect_terminals
@@ -305,16 +303,14 @@ def copy_rule(g: ZXGraph) -> bool:
 # --------------------------------------------------------------------------
 
 def _interior(g: ZXGraph, v: int) -> bool:
-    return (
-        g.type(v) == Z
-        and v not in g.outputs()
-        and v not in g.inputs()
-        and all(g.type(n) != BOUNDARY for n in g.neighbors(v))
-    )
+    if g._ty[v] != Z or v in g._bset:
+        return False
+    ty = g._ty
+    return all(ty[n] != BOUNDARY for n in g._adj[v])
 
 
 def _all_h_edges(g: ZXGraph, v: int) -> bool:
-    return all(g.edge_type((v, n)) == HADAMARD for n in g.neighbors(v))
+    return all(t == HADAMARD for t in g._adj[v].values())
 
 
 def lcomp(g: ZXGraph, u: int) -> None:

@@ -37,7 +37,7 @@ def is_gadget_hub(g: ZXGraph, v: int) -> bool:
     """A hub is a phase-free interior spider with exactly one unary neighbor."""
     if g.type(v) != Z or g.phase(v) != 0 or g.get_params(v):
         return False
-    if v in g.outputs() or v in g.inputs():
+    if v in g._bset:
         return False
     leaves = [n for n in g.neighbors(v) if g.degree(n) == 1 and g.type(n) == Z]
     return len(leaves) >= 1 and g.degree(v) >= 2
@@ -151,7 +151,7 @@ def boundary_pivot_simp(g: ZXGraph) -> bool:
         for v in list(g.neighbors(u)):
             if v not in g.types():
                 continue
-            if g.type(v) != Z or v in g.outputs() or v in g.inputs():
+            if g.type(v) != Z or v in g._bset:
                 continue
             if g.edge_type((u, v)) != HADAMARD:
                 continue
@@ -201,7 +201,7 @@ def gadget_simp(g: ZXGraph) -> bool:
             continue
         if g.type(v) != Z or g.phase(v) != 0 or g.get_params(v):
             continue
-        if v in g.outputs() or v in g.inputs():
+        if v in g._bset:
             continue
         nbrs = g.neighbors(v)
         leaves = [
@@ -210,8 +210,7 @@ def gadget_simp(g: ZXGraph) -> bool:
             if g.degree(n) == 1
             and g.type(n) == Z
             and g.edge_type((v, n)) == HADAMARD
-            and n not in g.outputs()
-            and n not in g.inputs()
+            and n not in g._bset
         ]
         if len(leaves) != 1 or len(nbrs) < 2:
             continue
