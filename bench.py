@@ -1,0 +1,47 @@
+"""Headline benchmark: detector shots/sec on 35-qubit d=3 distillation.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline normalization: the reference publishes a time-per-shot band for
+tsim-CUDA on this workload (reference docs/benchmarks.svg, panel 1); at the
+benchmarked error rate the GPU series sits around 1e-6 s/shot, i.e. about
+1e6 shots/sec. ``vs_baseline`` is shots/sec divided by that 1e6 figure.
+"""
+
+import json
+import time
+
+BASELINE_SHOTS_PER_SEC = 1.0e6  # tsim-CUDA-class throughput on this workload
+
+
+def main() -> None:
+    from tsim_tpu.models.distillation import distillation_d3
+
+    circuit = distillation_d3(p=0.05)
+    sampler = circuit.compile_detector_sampler(seed=0)
+
+    batch = 65536
+    # Warm up: trigger all JIT compilation paths at the benchmark batch size.
+    sampler.sample(batch, batch_size=batch)
+
+    shots = batch * 6
+    t0 = time.perf_counter()
+    det = sampler.sample(shots, batch_size=batch)
+    dt = time.perf_counter() - t0
+    assert det.shape[0] == shots
+
+    value = shots / dt
+    print(
+        json.dumps(
+            {
+                "metric": "detector_shots_per_sec_d3_distillation_35q",
+                "value": round(value, 1),
+                "unit": "shots/s",
+                "vs_baseline": round(value / BASELINE_SHOTS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

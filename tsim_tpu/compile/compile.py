@@ -183,11 +183,13 @@ def _compile_prefactor(g_list) -> ScalarPrefactor:
             floatfactor[-1] = [d.a, d.b, d.c, d.d]
         power2.append(p2 // 2)
     has_approx = any(abs(a - 1.0) > 1e-12 for a in approx)
+    # Complex stored as float32 (G, 2) pairs: TPU backends lack complex dtypes.
+    approx_ri = np.array([[a.real, a.imag] for a in approx], dtype=np.float32)
     return ScalarPrefactor(
         phase_indices=jnp.array(phase_idx, dtype=jnp.uint8),
         floatfactor=jnp.array(np.array(floatfactor, dtype=np.int32).reshape(-1, 4)),
         power2=jnp.array(power2, dtype=jnp.int32),
-        approximate_floatfactors=jnp.array(approx, dtype=jnp.complex64),
+        approximate_floatfactors=jnp.array(approx_ri.reshape(-1, 2)),
         has_approximate_floatfactors=has_approx,
     )
 

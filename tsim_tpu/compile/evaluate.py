@@ -1,9 +1,14 @@
 """Evaluation of compiled scalar graphs: the sampling hot kernel.
 
-``evaluate(circuit, param_vals)`` -> complex amplitudes (batch,). Exact
-Z[w] arithmetic throughout with a single float conversion at the end
-(mirrors reference ``tsim/compile/evaluate.py``). XLA fuses the parity
-GEMMs with the term-table lookups and the scan-based exact reductions.
+Complex-free by design: TPU backends lack native complex support, so
+amplitudes are carried as (real, imag) float32 pairs derived from the exact
+Z[w] coefficients:
+
+    re = c0 + (c1 - c3) / sqrt(2),   im = c2 + (c1 + c3) / sqrt(2)
+
+``evaluate_abs`` (used by the samplers) returns |amplitude| directly;
+``evaluate`` returns complex values for host-side use (reference API parity
+with ``tsim/compile/evaluate.py``).
 """
 
 from __future__ import annotations
@@ -19,14 +24,23 @@ from ..core.exact_scalar import ExactScalarArray
 from .compile import CompiledScalarGraphs
 from .terms import UNIT_PHASES
 
+_INV_SQRT2 = 0.7071067811865476
 
-@jax.jit
-def evaluate(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
-    """Evaluate amplitudes for batched binary parameter values (B, P)."""
+
+def _coeffs_to_real_imag(coeffs: Array) -> tuple[Array, Array]:
+    c = coeffs.astype(jnp.float32)
+    re = c[..., 0] + (c[..., 1] - c[..., 3]) * _INV_SQRT2
+    im = c[..., 2] + (c[..., 1] + c[..., 3]) * _INV_SQRT2
+    return re, im
+
+
+def _evaluate_parts(circuit: CompiledScalarGraphs, param_vals: Array):
+    """Shared exact product of the four families + static prefactor.
+
+    Returns (re, im, power) per (batch, graph) -- floats plus int32 power,
+    with the per-graph power2 folded in -- or signals the approximate path.
+    """
     prefactor = circuit.prefactor
-    if prefactor.phase_indices.shape[0] == 0:
-        return jnp.zeros(param_vals.shape[0], dtype=jnp.complex64)
-
     static_phases = ExactScalarArray.from_coeffs(UNIT_PHASES[prefactor.phase_indices])
     float_factor = ExactScalarArray.from_coeffs(prefactor.floatfactor)
 
@@ -41,14 +55,51 @@ def evaluate(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
             float_factor,
         ],
     )
+    return total
 
+
+@jax.jit
+def evaluate_abs(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
+    """|amplitude| per batch row, all-real arithmetic (TPU-safe)."""
+    prefactor = circuit.prefactor
+    if prefactor.phase_indices.shape[0] == 0:
+        return jnp.zeros(param_vals.shape[0], dtype=jnp.float32)
+    total = _evaluate_parts(circuit, param_vals)
     if not prefactor.has_approximate_floatfactors:
-        total = ExactScalarArray(coeffs=total.coeffs, power=total.power + prefactor.power2)
-        return total.sum().to_complex()
-
-    return jnp.sum(
-        total.to_complex()
-        * prefactor.approximate_floatfactors
-        * 2.0 ** prefactor.power2,
-        axis=-1,
+        summed = ExactScalarArray(
+            coeffs=total.coeffs, power=total.power + prefactor.power2
+        ).sum()
+        re, im = _coeffs_to_real_imag(summed.coeffs)
+        mag = jnp.sqrt(re * re + im * im)
+        return mag * jnp.exp2(summed.power.astype(jnp.float32))
+    re, im = _coeffs_to_real_imag(total.coeffs)
+    scale = jnp.exp2(
+        (total.power + prefactor.power2).astype(jnp.float32)
     )
+    fre = prefactor.approximate_floatfactors[..., 0] * scale
+    fim = prefactor.approximate_floatfactors[..., 1] * scale
+    out_re = jnp.sum(re * fre - im * fim, axis=-1)
+    out_im = jnp.sum(re * fim + im * fre, axis=-1)
+    return jnp.sqrt(out_re * out_re + out_im * out_im)
+
+
+def evaluate(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
+    """Complex amplitudes (host/CPU use; TPU backends may lack complex)."""
+    prefactor = circuit.prefactor
+    if prefactor.phase_indices.shape[0] == 0:
+        return jnp.zeros(param_vals.shape[0], dtype=jnp.complex64)
+    total = _evaluate_parts(circuit, param_vals)
+    if not prefactor.has_approximate_floatfactors:
+        summed = ExactScalarArray(
+            coeffs=total.coeffs, power=total.power + prefactor.power2
+        ).sum()
+        re, im = _coeffs_to_real_imag(summed.coeffs)
+        scale = jnp.exp2(summed.power.astype(jnp.float32))
+        return (re * scale) + 1j * (im * scale)
+    re, im = _coeffs_to_real_imag(total.coeffs)
+    scale = jnp.exp2((total.power + prefactor.power2).astype(jnp.float32))
+    fre = prefactor.approximate_floatfactors[..., 0] * scale
+    fim = prefactor.approximate_floatfactors[..., 1] * scale
+    out_re = jnp.sum(re * fre - im * fim, axis=-1)
+    out_im = jnp.sum(re * fim + im * fre, axis=-1)
+    return out_re + 1j * out_im

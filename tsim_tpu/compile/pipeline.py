@@ -69,10 +69,10 @@ def compile_program(
 
     return CompiledProgram(
         components=tuple(compiled_components),
-        direct_f_indices=jnp.array(direct_f_indices, dtype=jnp.int32),
-        direct_flips=jnp.array(direct_flips, dtype=jnp.bool_),
-        output_order=jnp.asarray(output_order),
-        output_reindex=None if is_identity else jnp.asarray(reindex),
+        direct_f_indices=np.array(direct_f_indices, dtype=np.int32),
+        direct_flips=np.array(direct_flips, dtype=np.bool_),
+        output_order=output_order,
+        output_reindex=None if is_identity else reindex.astype(np.int32),
         num_outputs=num_outputs,
         num_detectors=prepared.num_detectors,
     )

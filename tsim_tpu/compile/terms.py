@@ -116,5 +116,5 @@ class ScalarPrefactor:
     phase_indices: Array  # (G,) uint8 0-7
     floatfactor: Array  # (G, 4) int32 exact Z[w] element
     power2: Array  # (G,) int32
-    approximate_floatfactors: Array  # (G,) complex64
+    approximate_floatfactors: Array  # (G, 2) float32 (re, im) pairs
     has_approximate_floatfactors: bool = static_field(default=False)

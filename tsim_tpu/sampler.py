@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .compile.evaluate import evaluate
+from .compile.evaluate import evaluate_abs
 from .compile.pipeline import compile_program
 from .core.graph_prep import prepare_graph
 from .core.types import CompiledComponent, CompiledProgram
@@ -42,7 +42,7 @@ def _sample_component(
     f_selected = f_params[:, component.f_selection].astype(jnp.bool_)
     m_accumulated = jnp.zeros((batch_size, num_outputs), dtype=jnp.bool_)
 
-    prev = jnp.abs(evaluate(component.compiled_scalar_graphs[0], f_selected))
+    prev = evaluate_abs(component.compiled_scalar_graphs[0], f_selected)
 
     ones = jnp.ones((batch_size, 1), dtype=jnp.bool_)
     zero = jnp.zeros((1, 1), dtype=jnp.bool_)
@@ -51,7 +51,7 @@ def _sample_component(
     for i, circuit in enumerate(component.compiled_scalar_graphs[1:]):
         params = jnp.hstack([f_selected, m_accumulated[:, :i], ones])
         check_row = jnp.hstack([f_selected[:1], m_accumulated[:1, :i], zero])
-        probs = jnp.abs(evaluate(circuit, jnp.vstack([params, check_row])))
+        probs = evaluate_abs(circuit, jnp.vstack([params, check_row]))
         p1 = probs[:batch_size]
         p0_single = probs[-1]
 
@@ -599,10 +599,10 @@ class CompiledStateProbs(_CompiledSamplerBase):
             assert len(component.compiled_scalar_graphs) == 2
             f_selected = f_samples[:, component.f_selection]
             norm_circuit, joint_circuit = component.compiled_scalar_graphs
-            p_norm = p_norm * jnp.abs(evaluate(norm_circuit, f_selected))
+            p_norm = p_norm * evaluate_abs(norm_circuit, f_selected)
             component_state = state[list(component.output_indices)]
             tiled = jnp.tile(jnp.asarray(component_state), (batch_size, 1))
             joint_params = jnp.hstack([f_selected, tiled])
-            p_joint = p_joint * jnp.abs(evaluate(joint_circuit, joint_params))
+            p_joint = p_joint * evaluate_abs(joint_circuit, joint_params)
 
         return np.asarray(p_joint / p_norm)
