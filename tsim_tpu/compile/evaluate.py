@@ -29,8 +29,8 @@ _INV_SQRT2 = 0.7071067811865476
 
 def _coeffs_to_real_imag(coeffs: Array) -> tuple[Array, Array]:
     c = coeffs.astype(jnp.float32)
-    re = c[..., 0] + (c[..., 1] - c[..., 3]) * _INV_SQRT2
-    im = c[..., 2] + (c[..., 1] + c[..., 3]) * _INV_SQRT2
+    re = c[0] + (c[1] - c[3]) * _INV_SQRT2
+    im = c[2] + (c[1] + c[3]) * _INV_SQRT2
     return re, im
 
 
@@ -41,8 +41,12 @@ def _evaluate_parts(circuit: CompiledScalarGraphs, param_vals: Array):
     with the per-graph power2 folded in -- or signals the approximate path.
     """
     prefactor = circuit.prefactor
-    static_phases = ExactScalarArray.from_coeffs(UNIT_PHASES[prefactor.phase_indices])
-    float_factor = ExactScalarArray.from_coeffs(prefactor.floatfactor)
+    from .terms import UNIT_PHASES_T
+
+    static_phases = ExactScalarArray.from_coeffs(
+        jnp.asarray(UNIT_PHASES_T)[:, prefactor.phase_indices]
+    )
+    float_factor = ExactScalarArray.from_coeffs_last(prefactor.floatfactor)
 
     total = functools.reduce(
         operator.mul,

@@ -8,6 +8,7 @@ prefactor; each family evaluates a batch of binary parameter vectors into an
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from ..core.exact_scalar import ExactScalarArray
@@ -15,7 +16,9 @@ from ..ops.gf2 import matmul_gf2
 from ..utils.pytree import pytree_dataclass, static_field
 
 # UNIT_PHASES[k] = exact coefficients of w^k in the (1, w, i, w^3) basis.
-UNIT_PHASES = jnp.array(
+# NOTE: kept as numpy so jit embeds them as literals -- creating device
+# constants at import time breaks on backends with restricted d2h.
+UNIT_PHASES = np.array(
     [
         [1, 0, 0, 0],
         [0, 1, 0, 0],
@@ -26,11 +29,15 @@ UNIT_PHASES = jnp.array(
         [0, 0, -1, 0],
         [0, 0, 0, -1],
     ],
-    dtype=jnp.int32,
+    dtype=np.int32,
 )
 
-_ONE_PLUS_PHASES = UNIT_PHASES.at[:, 0].add(1)
-_IDENTITY = jnp.array([1, 0, 0, 0], dtype=jnp.int32)
+_ONE_PLUS_PHASES = UNIT_PHASES.copy()
+_ONE_PLUS_PHASES[:, 0] += 1
+_IDENTITY = np.array([1, 0, 0, 0], dtype=np.int32)
+# Transposed (4, 8) tables: indexing [:, k] yields leading-component layout.
+UNIT_PHASES_T = UNIT_PHASES.T.copy()
+_ONE_PLUS_PHASES_T = _ONE_PLUS_PHASES.T.copy()
 
 
 @pytree_dataclass
@@ -49,9 +56,10 @@ class NodePhases:
     def evaluate(self, param_vals: Array) -> ExactScalarArray:
         rowsum = matmul_gf2(self.params, param_vals)
         phase_idx = (4 * rowsum + self.phases) % 8
-        term_vals = _ONE_PLUS_PHASES[phase_idx]
+        term_vals = jnp.asarray(_ONE_PLUS_PHASES_T)[:, phase_idx]  # (4, B, G, T)
         mask = jnp.arange(self.phases.shape[1])[None, :] < self.counts[:, None]
-        term_vals = jnp.where(mask[..., None], term_vals, _IDENTITY)
+        ident = jnp.asarray(_IDENTITY).reshape(4, 1, 1, 1)
+        term_vals = jnp.where(mask[None], term_vals, ident)
         return ExactScalarArray.from_coeffs(term_vals).prod(axis=-1)
 
 
@@ -66,7 +74,7 @@ class HalfPiPhases:
         rowsum = matmul_gf2(self.params, param_vals)
         phase_idx = (rowsum * self.coeffs) % 8
         total = jnp.sum(phase_idx, axis=-1) % 8
-        return ExactScalarArray.from_coeffs(UNIT_PHASES[total])
+        return ExactScalarArray.from_coeffs(jnp.asarray(UNIT_PHASES_T)[:, total])
 
 
 @pytree_dataclass
@@ -82,7 +90,8 @@ class PiProducts:
         psi = (self.psi_const + matmul_gf2(self.psi_params, param_vals)) % 2
         phi = (self.phi_const + matmul_gf2(self.phi_params, param_vals)) % 2
         exponent = jnp.sum((psi * phi) % 2, axis=-1) % 2
-        coeffs = (1 - 2 * exponent).astype(jnp.int32)[..., None] * _IDENTITY
+        sign = (1 - 2 * exponent).astype(jnp.int32)
+        coeffs = sign[None] * jnp.asarray(_IDENTITY).reshape(4, 1, 1)
         return ExactScalarArray.from_coeffs(coeffs)
 
 
@@ -102,9 +111,11 @@ class PhasePairs:
         a = (self.alpha + 4 * ra) % 8
         b = (self.beta + 4 * rb) % 8
         g = (a + b) % 8
-        term_vals = _IDENTITY + UNIT_PHASES[a] + UNIT_PHASES[b] - UNIT_PHASES[g]
+        up = jnp.asarray(UNIT_PHASES_T)
+        ident = jnp.asarray(_IDENTITY).reshape(4, 1, 1, 1)
+        term_vals = ident + up[:, a] + up[:, b] - up[:, g]
         mask = jnp.arange(self.alpha.shape[1])[None, :] < self.counts[:, None]
-        term_vals = jnp.where(mask[..., None], term_vals, _IDENTITY)
+        term_vals = jnp.where(mask[None], term_vals, ident)
         return ExactScalarArray.from_coeffs(term_vals).prod(axis=-1)
 
 

@@ -1,9 +1,14 @@
 """Batched exact arithmetic in Z[w] * 2^power on device, w = e^{i pi/4}.
 
-Values are ``(c0 + c1 w + c2 i + c3 w^3) * 2^power`` with int32 coefficient
-vectors of shape (..., 4) and an int32 power array. Products and sums stay
-exact until a single float conversion at the end (the numerical heart of the
-sampler; reference ``tsim/core/exact_scalar.py`` has the same contract).
+Values are ``(c0 + c1 w + c2 i + c3 w^3) * 2^power`` with int32 coefficients
+and an int32 power array. Products and sums stay exact until a single float
+conversion at the end (the numerical heart of the sampler; reference
+``tsim/core/exact_scalar.py`` has the same contract).
+
+TPU layout note: coefficients are stored with the 4-component axis LEADING
+(shape ``(4, ...)``), never trailing. A trailing size-4 axis would be padded
+to the 128-lane tile by the TPU layout (T(8,128)), a 32x HBM blowup; with
+the component axis leading, the batch/graph axes occupy the tiled lanes.
 
 The reduction keeps coefficients small by dividing out common factors of 2
 into ``power`` — one reduction step per combine, plus a while-loop fixpoint
@@ -20,23 +25,23 @@ from ..utils.pytree import pytree_dataclass
 
 _E4 = jnp.exp(1j * jnp.pi / 4)
 
-_SCAN_UNROLL = 16
+_SCAN_UNROLL = 4
 
 
 def _mul_coeffs(d1: Array, d2: Array) -> Array:
-    """Multiply coefficient vectors in Z[w] (w^4 = -1)."""
-    a1, b1, c1, e1 = d1[..., 0], d1[..., 1], d1[..., 2], d1[..., 3]
-    a2, b2, c2, e2 = d2[..., 0], d2[..., 1], d2[..., 2], d2[..., 3]
+    """Multiply coefficient arrays (4, ...) in Z[w] (w^4 = -1)."""
+    a1, b1, c1, e1 = d1[0], d1[1], d1[2], d1[3]
+    a2, b2, c2, e2 = d2[0], d2[1], d2[2], d2[3]
     A = a1 * a2 - b1 * e2 - c1 * c2 - e1 * b2
     B = a1 * b2 + b1 * a2 - c1 * e2 - e1 * c2
     C = a1 * c2 + b1 * b2 + c1 * a2 - e1 * e2
     D = a1 * e2 + b1 * c2 + c1 * b2 + e1 * a2
-    return jnp.stack([A, B, C, D], axis=-1).astype(d1.dtype)
+    return jnp.stack([A, B, C, D], axis=0).astype(d1.dtype)
 
 
 def _reduce_step(power: Array, coeffs: Array) -> tuple[Array, Array]:
-    reducible = jnp.all(coeffs % 2 == 0, axis=-1) & jnp.any(coeffs != 0, axis=-1)
-    coeffs = jnp.where(reducible[..., None], coeffs // 2, coeffs)
+    reducible = jnp.all(coeffs % 2 == 0, axis=0) & jnp.any(coeffs != 0, axis=0)
+    coeffs = jnp.where(reducible[None], coeffs // 2, coeffs)
     power = jnp.where(reducible, power + 1, power)
     return power, coeffs
 
@@ -50,17 +55,19 @@ def _mul_with_power(x, y):
 def _add_with_power(x, y):
     p1, c1 = x
     p2, c2 = y
-    s1 = jnp.left_shift(jnp.ones_like(p1), jnp.maximum(p1 - p2, 0))[..., None]
-    s2 = jnp.left_shift(jnp.ones_like(p2), jnp.maximum(p2 - p1, 0))[..., None]
+    s1 = jnp.left_shift(jnp.ones_like(p1), jnp.maximum(p1 - p2, 0))[None]
+    s2 = jnp.left_shift(jnp.ones_like(p2), jnp.maximum(p2 - p1, 0))[None]
     return _reduce_step(jnp.minimum(p1, p2), c1 * s1 + c2 * s2)
 
 
-def _reduce_along_scan(power, coeffs, op, axis):
-    """Sequential scan reduction keeping an O(1) carry, then a fixpoint."""
-    if axis < 0:
-        axis += power.ndim
-    power_t = jnp.moveaxis(power, axis, 0)
-    coeffs_t = jnp.moveaxis(coeffs, axis, 0)
+def _reduce_along_scan(power, coeffs, op, value_axis):
+    """Sequential scan reduction keeping an O(1) carry, then a fixpoint.
+
+    ``value_axis`` indexes the value shape (power's axes); the corresponding
+    coeffs axis is ``value_axis + 1`` (leading component axis).
+    """
+    power_t = jnp.moveaxis(power, value_axis, 0)
+    coeffs_t = jnp.moveaxis(coeffs, value_axis + 1, 0)
     init = (power_t[0], coeffs_t[0])
     rest = (power_t[1:], coeffs_t[1:])
 
@@ -83,16 +90,32 @@ def _reduce_along_scan(power, coeffs, op, axis):
 
 @pytree_dataclass
 class ExactScalarArray:
-    """Array of exact Z[w]-ring scalars with power-of-2 exponents."""
+    """Array of exact Z[w]-ring scalars with power-of-2 exponents.
+
+    ``coeffs`` has shape ``(4,) + value_shape``; ``power`` has ``value_shape``.
+    """
 
     coeffs: Array
     power: Array
 
     @staticmethod
-    def from_coeffs(coeffs: Array, power: Array | None = None) -> "ExactScalarArray":
+    def from_coeffs_last(coeffs_last: Array, power: Array | None = None):
+        """Build from a (..., 4) trailing-axis table (host-side layout)."""
+        coeffs = jnp.moveaxis(coeffs_last, -1, 0)
         if power is None:
-            power = jnp.zeros(coeffs.shape[:-1], dtype=jnp.int32)
+            power = jnp.zeros(coeffs.shape[1:], dtype=jnp.int32)
         return ExactScalarArray(coeffs=coeffs, power=power)
+
+    @staticmethod
+    def from_coeffs(coeffs_first: Array, power: Array | None = None):
+        """Build from a (4, ...) leading-axis coefficient array."""
+        if power is None:
+            power = jnp.zeros(coeffs_first.shape[1:], dtype=jnp.int32)
+        return ExactScalarArray(coeffs=coeffs_first, power=power)
+
+    @property
+    def value_ndim(self) -> int:
+        return self.power.ndim
 
     def __mul__(self, other: "ExactScalarArray") -> "ExactScalarArray":
         return ExactScalarArray(
@@ -109,14 +132,27 @@ class ExactScalarArray:
     def prod(self, axis: int = -1) -> "ExactScalarArray":
         if axis < 0:
             axis += self.power.ndim
-        if self.coeffs.shape[axis] == 0:
-            shape = self.coeffs.shape[:axis] + self.coeffs.shape[axis + 1 :]
-            c = jnp.zeros(shape, dtype=self.coeffs.dtype).at[..., 0].set(1)
+        if self.power.shape[axis] == 0:
+            shape = self.power.shape[:axis] + self.power.shape[axis + 1 :]
+            c = jnp.zeros((4,) + shape, dtype=self.coeffs.dtype).at[0].set(1)
             return ExactScalarArray.from_coeffs(c)
         p, c = _reduce_along_scan(self.power, self.coeffs, _mul_with_power, axis)
         return ExactScalarArray(coeffs=c, power=p)
 
+    def to_real_imag(self) -> tuple[Array, Array]:
+        """(re, im) float32 pair including the 2^power scale (TPU-safe)."""
+        c = self.coeffs.astype(jnp.float32)
+        inv = 0.7071067811865476
+        re = c[0] + (c[1] - c[3]) * inv
+        im = c[2] + (c[1] + c[3]) * inv
+        scale = jnp.exp2(self.power.astype(jnp.float32))
+        return re * scale, im * scale
+
+    def abs(self) -> Array:
+        re, im = self.to_real_imag()
+        return jnp.sqrt(re * re + im * im)
+
     def to_complex(self) -> Array:
         c = self.coeffs
-        val = c[..., 0] + c[..., 1] * _E4 + c[..., 2] * 1j + c[..., 3] * _E4 * 1j
+        val = c[0] + c[1] * _E4 + c[2] * 1j + c[3] * _E4 * 1j
         return val * jnp.pow(2.0, self.power)
