@@ -20,11 +20,11 @@ def main() -> None:
     circuit = distillation_d3(p=0.05)
     sampler = circuit.compile_detector_sampler(seed=0)
 
-    batch = 4096
+    batch = 16384
     # Warm up: trigger all JIT compilation paths at the benchmark batch size.
     sampler.sample(batch, batch_size=batch)
 
-    shots = batch * 8
+    shots = batch * 16
     t0 = time.perf_counter()
     det = sampler.sample(shots, batch_size=batch)
     dt = time.perf_counter() - t0

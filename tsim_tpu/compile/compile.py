@@ -56,8 +56,9 @@ def _compile_node_phases(g_list, char_to_idx, n_params) -> NodePhases:
         for j, (c, bits) in enumerate(rows):
             phases[i, j] = c
             params[i, j] = bits
+    # (T, G) layout: the graph axis stays trailing on device (TPU tiling).
     return NodePhases(
-        phases=jnp.array(phases), params=jnp.array(params),
+        phases=jnp.array(phases.T), params=jnp.array(params.transpose(1, 0, 2)),
         counts=jnp.array(counts, dtype=jnp.int32),
     )
 
@@ -85,7 +86,9 @@ def _compile_halfpi_phases(g_list, char_to_idx, n_params) -> HalfPiPhases:
         for j, (c, bits) in enumerate(rows):
             coeffs[i, j] = c
             params[i, j] = bits
-    return HalfPiPhases(coeffs=jnp.array(coeffs), params=jnp.array(params))
+    return HalfPiPhases(
+        coeffs=jnp.array(coeffs.T), params=jnp.array(params.transpose(1, 0, 2))
+    )
 
 
 def _compile_pi_products(g_list, char_to_idx, n_params) -> PiProducts:
@@ -115,8 +118,8 @@ def _compile_pi_products(g_list, char_to_idx, n_params) -> PiProducts:
             phi_c[i, j] = fc
             phi_p[i, j] = fp
     return PiProducts(
-        psi_const=jnp.array(psi_c), psi_params=jnp.array(psi_p),
-        phi_const=jnp.array(phi_c), phi_params=jnp.array(phi_p),
+        psi_const=jnp.array(psi_c.T), psi_params=jnp.array(psi_p.transpose(1, 0, 2)),
+        phi_const=jnp.array(phi_c.T), phi_params=jnp.array(phi_p.transpose(1, 0, 2)),
     )
 
 
@@ -148,8 +151,8 @@ def _compile_phase_pairs(g_list, char_to_idx, n_params) -> PhasePairs:
             ap[i, j] = pa
             bp[i, j] = pb
     return PhasePairs(
-        alpha=jnp.array(alpha), alpha_params=jnp.array(ap),
-        beta=jnp.array(beta), beta_params=jnp.array(bp),
+        alpha=jnp.array(alpha.T), alpha_params=jnp.array(ap.transpose(1, 0, 2)),
+        beta=jnp.array(beta.T), beta_params=jnp.array(bp.transpose(1, 0, 2)),
         counts=jnp.array(counts, dtype=jnp.int32),
     )
 

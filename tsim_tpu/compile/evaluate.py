@@ -41,10 +41,10 @@ def _evaluate_parts(circuit: CompiledScalarGraphs, param_vals: Array):
     with the per-graph power2 folded in -- or signals the approximate path.
     """
     prefactor = circuit.prefactor
-    from .terms import UNIT_PHASES_T
+    from .terms import omega_coeffs
 
     static_phases = ExactScalarArray.from_coeffs(
-        jnp.asarray(UNIT_PHASES_T)[:, prefactor.phase_indices]
+        omega_coeffs(prefactor.phase_indices)
     )
     float_factor = ExactScalarArray.from_coeffs_last(prefactor.floatfactor)
 

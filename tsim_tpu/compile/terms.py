@@ -40,13 +40,32 @@ UNIT_PHASES_T = UNIT_PHASES.T.copy()
 _ONE_PLUS_PHASES_T = _ONE_PLUS_PHASES.T.copy()
 
 
+def omega_coeffs(k: Array) -> Array:
+    """Exact (4, ...) coefficients of w^k via arithmetic (gather-free).
+
+    w^k = (-1)^(k // 4) * basis[k % 4]; table gathers lower to pathological
+    code on some TPU backends, comparisons stay on the VPU.
+    """
+    k = k.astype(jnp.int32)
+    sign = 1 - 2 * (k // 4)
+    km = k % 4
+    return jnp.stack([jnp.where(km == j, sign, 0) for j in range(4)], axis=0)
+
+
+def one_plus_omega_coeffs(k: Array) -> Array:
+    """Exact (4, ...) coefficients of 1 + w^k (gather-free)."""
+    c = omega_coeffs(k)
+    return c.at[0].add(1)
+
+
 @pytree_dataclass
 class NodePhases:
     """Product of ``1 + exp(i (alpha + pi * parity) )`` terms.
 
     ``phases`` stores alpha in eighth-turns (0-7); padded slots are masked to
     the multiplicative identity via ``counts``.
-    Shapes: phases (G, T); params (G, T, P); counts (G,).
+    Shapes (term axis leading, graph axis trailing for TPU tiling):
+    phases (T, G); params (T, G, P); counts (G,).
     """
 
     phases: Array
@@ -54,42 +73,42 @@ class NodePhases:
     counts: Array
 
     def evaluate(self, param_vals: Array) -> ExactScalarArray:
-        rowsum = matmul_gf2(self.params, param_vals)
+        rowsum = matmul_gf2(self.params, param_vals)  # (B, T, G)
         phase_idx = (4 * rowsum + self.phases) % 8
-        term_vals = jnp.asarray(_ONE_PLUS_PHASES_T)[:, phase_idx]  # (4, B, G, T)
-        mask = jnp.arange(self.phases.shape[1])[None, :] < self.counts[:, None]
+        term_vals = one_plus_omega_coeffs(phase_idx)  # (4, B, T, G)
+        mask = jnp.arange(self.phases.shape[0])[:, None] < self.counts[None, :]
         ident = jnp.asarray(_IDENTITY).reshape(4, 1, 1, 1)
         term_vals = jnp.where(mask[None], term_vals, ident)
-        return ExactScalarArray.from_coeffs(term_vals).prod(axis=-1)
+        return ExactScalarArray.from_coeffs(term_vals).prod(axis=1)
 
 
 @pytree_dataclass
 class HalfPiPhases:
     """Sum of ``exp(i j pi/2 parity)`` exponents; coeffs in eighth-turns."""
 
-    coeffs: Array  # (G, T) values in {0, 2, 4, 6}; 0 = padding
-    params: Array  # (G, T, P)
+    coeffs: Array  # (T, G) values in {0, 2, 4, 6}; 0 = padding
+    params: Array  # (T, G, P)
 
     def evaluate(self, param_vals: Array) -> ExactScalarArray:
-        rowsum = matmul_gf2(self.params, param_vals)
+        rowsum = matmul_gf2(self.params, param_vals)  # (B, T, G)
         phase_idx = (rowsum * self.coeffs) % 8
-        total = jnp.sum(phase_idx, axis=-1) % 8
-        return ExactScalarArray.from_coeffs(jnp.asarray(UNIT_PHASES_T)[:, total])
+        total = jnp.sum(phase_idx, axis=1) % 8
+        return ExactScalarArray.from_coeffs(omega_coeffs(total))
 
 
 @pytree_dataclass
 class PiProducts:
     """Product of ``(-1)^(psi * phi)`` terms, each side const xor parity."""
 
-    psi_const: Array  # (G, T)
-    psi_params: Array  # (G, T, P)
-    phi_const: Array  # (G, T)
-    phi_params: Array  # (G, T, P)
+    psi_const: Array  # (T, G)
+    psi_params: Array  # (T, G, P)
+    phi_const: Array  # (T, G)
+    phi_params: Array  # (T, G, P)
 
     def evaluate(self, param_vals: Array) -> ExactScalarArray:
         psi = (self.psi_const + matmul_gf2(self.psi_params, param_vals)) % 2
         phi = (self.phi_const + matmul_gf2(self.phi_params, param_vals)) % 2
-        exponent = jnp.sum((psi * phi) % 2, axis=-1) % 2
+        exponent = jnp.sum((psi * phi) % 2, axis=1) % 2  # (B, G)
         sign = (1 - 2 * exponent).astype(jnp.int32)
         coeffs = sign[None] * jnp.asarray(_IDENTITY).reshape(4, 1, 1)
         return ExactScalarArray.from_coeffs(coeffs)
@@ -99,10 +118,10 @@ class PiProducts:
 class PhasePairs:
     """Product of ``1 + e^{ia} + e^{ib} - e^{i(a+b)}`` terms."""
 
-    alpha: Array  # (G, T) eighth-turns
-    alpha_params: Array  # (G, T, P)
-    beta: Array  # (G, T) eighth-turns
-    beta_params: Array  # (G, T, P)
+    alpha: Array  # (T, G) eighth-turns
+    alpha_params: Array  # (T, G, P)
+    beta: Array  # (T, G) eighth-turns
+    beta_params: Array  # (T, G, P)
     counts: Array  # (G,)
 
     def evaluate(self, param_vals: Array) -> ExactScalarArray:
@@ -111,12 +130,11 @@ class PhasePairs:
         a = (self.alpha + 4 * ra) % 8
         b = (self.beta + 4 * rb) % 8
         g = (a + b) % 8
-        up = jnp.asarray(UNIT_PHASES_T)
         ident = jnp.asarray(_IDENTITY).reshape(4, 1, 1, 1)
-        term_vals = ident + up[:, a] + up[:, b] - up[:, g]
-        mask = jnp.arange(self.alpha.shape[1])[None, :] < self.counts[:, None]
+        term_vals = ident + omega_coeffs(a) + omega_coeffs(b) - omega_coeffs(g)
+        mask = jnp.arange(self.alpha.shape[0])[:, None] < self.counts[None, :]
         term_vals = jnp.where(mask[None], term_vals, ident)
-        return ExactScalarArray.from_coeffs(term_vals).prod(axis=-1)
+        return ExactScalarArray.from_coeffs(term_vals).prod(axis=1)
 
 
 @pytree_dataclass

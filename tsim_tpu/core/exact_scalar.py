@@ -132,10 +132,22 @@ class ExactScalarArray:
     def prod(self, axis: int = -1) -> "ExactScalarArray":
         if axis < 0:
             axis += self.power.ndim
-        if self.power.shape[axis] == 0:
+        n = self.power.shape[axis]
+        if n == 0:
             shape = self.power.shape[:axis] + self.power.shape[axis + 1 :]
             c = jnp.zeros((4,) + shape, dtype=self.coeffs.dtype).at[0].set(1)
             return ExactScalarArray.from_coeffs(c)
+        if n <= 16:
+            # Static unrolled fold: cheaper than a scan for tiny term axes
+            # (and avoids scan buffer padding on TPU).
+            def take(i):
+                pw = lax.index_in_dim(self.power, i, axis, keepdims=False)
+                cf = lax.index_in_dim(self.coeffs, i, axis + 1, keepdims=False)
+                return pw, cf
+            acc = take(0)
+            for i in range(1, n):
+                acc = _mul_with_power(acc, take(i))
+            return ExactScalarArray(coeffs=acc[1], power=acc[0])
         p, c = _reduce_along_scan(self.power, self.coeffs, _mul_with_power, axis)
         return ExactScalarArray(coeffs=c, power=p)
 

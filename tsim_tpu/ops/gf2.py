@@ -78,14 +78,15 @@ def find_basis(vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def matmul_gf2(a: Array, b: Array) -> Array:
-    """Binary dot products mod 2: ``a_(G,T,P) x b_(B,P) -> (B,G,T)``.
+    """Binary dot products mod 2: ``a_(T,G,P) x b_(B,P) -> (B,T,G)``.
 
     float32 GEMM (MXU-friendly) then mod 2. The mod must run in float32:
     float->uint8 casts saturate rather than wrap, which would corrupt
-    parities for inner products above 255.
+    parities for inner products above 255. The graph axis G stays trailing
+    so the result tiles onto (8, 128) TPU lanes without padding waste.
     """
-    G, T, _ = a.shape
+    T, G, _ = a.shape
     if G * T == 0:
-        return jnp.zeros((b.shape[0], G, T), dtype=jnp.uint8)
-    sum_f32 = b.astype(jnp.float32) @ a.astype(jnp.float32).reshape(G * T, -1).T
-    return (sum_f32.reshape(-1, G, T) % 2).astype(jnp.uint8)
+        return jnp.zeros((b.shape[0], T, G), dtype=jnp.uint8)
+    sum_f32 = b.astype(jnp.float32) @ a.astype(jnp.float32).reshape(T * G, -1).T
+    return (sum_f32.reshape(-1, T, G) % 2).astype(jnp.uint8)

@@ -48,15 +48,15 @@ def sharded_sample_program(
         max_dev = jnp.zeros(())
         if len(program.direct_f_indices) > 0:
             outs.append(
-                f_local[:, program.direct_f_indices].astype(jnp.bool_)
-                ^ program.direct_flips
+                f_local[:, program.direct_f_indices].astype(jnp.uint8)
+                ^ np.asarray(program.direct_flips, dtype=np.uint8)
             )
         for component in program.components:
             samples, local_key, dev = _sample_component(component, f_local, local_key)
             outs.append(samples)
             max_dev = jnp.maximum(max_dev, dev)
         combined = jnp.concatenate(outs, axis=1) if outs else jnp.zeros(
-            (f_local.shape[0], 0), jnp.bool_
+            (f_local.shape[0], 0), jnp.uint8
         )
         if program.output_reindex is not None:
             combined = combined[:, program.output_reindex]

@@ -39,13 +39,13 @@ def _sample_component(
     batch_size = f_params.shape[0]
     num_outputs = len(component.compiled_scalar_graphs) - 1
 
-    f_selected = f_params[:, component.f_selection].astype(jnp.bool_)
-    m_accumulated = jnp.zeros((batch_size, num_outputs), dtype=jnp.bool_)
+    f_selected = f_params[:, component.f_selection].astype(jnp.uint8)
+    m_accumulated = jnp.zeros((batch_size, num_outputs), dtype=jnp.uint8)
 
     prev = evaluate_abs(component.compiled_scalar_graphs[0], f_selected)
 
-    ones = jnp.ones((batch_size, 1), dtype=jnp.bool_)
-    zero = jnp.zeros((1, 1), dtype=jnp.bool_)
+    ones = jnp.ones((batch_size, 1), dtype=jnp.uint8)
+    zero = jnp.zeros((1, 1), dtype=jnp.uint8)
     max_norm_deviation = jnp.array(0.0)
 
     for i, circuit in enumerate(component.compiled_scalar_graphs[1:]):
@@ -66,7 +66,7 @@ def _sample_component(
 
         key, subkey = jax.random.split(key)
         bits = jax.random.bernoulli(subkey, p=jnp.clip(p1 / prev, 0.0, 1.0))
-        m_accumulated = m_accumulated.at[:, i].set(bits)
+        m_accumulated = m_accumulated.at[:, i].set(bits.astype(jnp.uint8))
         prev = jnp.where(bits, p1, prev - p1)
 
     return m_accumulated, key, max_norm_deviation
@@ -85,38 +85,55 @@ def sample_program(
     program: CompiledProgram, f_params: jax.Array, key: jax.Array
 ) -> jax.Array:
     """Sample all outputs; returns (B, num_outputs) bools in original order."""
+    samples, max_dev = sample_program_with_deviation(program, f_params, key)
+    _check_norm_deviation(max_dev)
+    return samples
+
+
+def sample_program_with_deviation(
+    program: CompiledProgram, f_params: jax.Array, key: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Like :func:`sample_program` but returns the device-side norm-deviation
+    maximum instead of syncing per call (one host check at the end of a run)."""
     results: list[jax.Array] = []
+    max_dev = jnp.zeros((1,), dtype=jnp.float32)
     if program.num_outputs == 0:
-        return jnp.zeros((f_params.shape[0], 0), dtype=jnp.bool_)
+        return jnp.zeros((f_params.shape[0], 0), dtype=jnp.uint8), max_dev
 
     if len(program.direct_f_indices) > 0:
         direct_bits = (
-            f_params[:, program.direct_f_indices].astype(jnp.bool_)
-            ^ program.direct_flips
+            f_params[:, program.direct_f_indices].astype(jnp.uint8)
+            ^ program.direct_flips.astype(np.uint8)
         )
         results.append(direct_bits)
 
     for component in program.components:
-        samples, key, max_norm_deviation = sample_component(component, f_params, key)
-        if np.isclose(max_norm_deviation, 1):
-            raise ValueError(
-                "A vanishing marginal probability distribution was encountered "
-                "(normalization 0). This is likely the result of an underflow "
-                "error."
-            )
-        if max_norm_deviation > 1e-5:
-            warnings.warn(
-                "A marginal probability was not normalized correctly "
-                f"(normalization deviated from 1 by {float(max_norm_deviation):.1e}). "
-                "This is likely a floating point precision issue.",
-                stacklevel=2,
-            )
+        samples, key, dev = sample_component(component, f_params, key)
+        max_dev = jnp.maximum(max_dev, jnp.reshape(dev, (1,)).astype(jnp.float32))
         results.append(samples)
 
     combined = jnp.concatenate(results, axis=1)
     if program.output_reindex is not None:
         combined = combined[:, program.output_reindex]
-    return combined
+    return combined, max_dev
+
+
+def _check_norm_deviation(max_dev) -> None:
+    # rank-1 transfer: some TPU backends cannot fetch rank-0 arrays.
+    val = float(np.asarray(jax.device_get(max_dev))[0])
+    if np.isclose(val, 1):
+        raise ValueError(
+            "A vanishing marginal probability distribution was encountered "
+            "(normalization 0). This is likely the result of an underflow "
+            "error."
+        )
+    if val > 1e-5:
+        warnings.warn(
+            "A marginal probability was not normalized correctly "
+            f"(normalization deviated from 1 by {val:.1e}). "
+            "This is likely a floating point precision issue.",
+            stacklevel=2,
+        )
 
 
 def _available_host_memory() -> int:
@@ -202,9 +219,8 @@ class _CompiledSamplerBase:
         if not self._program.components:
             return self._compute_direct_outputs(f_ref)[0]
         self._key, subkey = jax.random.split(self._key)
-        return np.asarray(
-            sample_program(self._program, jnp.asarray(f_ref), subkey)[0], dtype=np.bool_
-        )
+        out = sample_program(self._program, jnp.asarray(f_ref), subkey)
+        return np.asarray(jax.device_get(out)).view(np.bool_)[0]
 
     # -------------------------------------------------------------- batching
     def _peak_bytes_per_sample(self) -> int:
@@ -212,10 +228,10 @@ class _CompiledSamplerBase:
         for component in self._program.components:
             for circuit in component.compiled_scalar_graphs:
                 G = circuit.num_graphs
-                max_a = circuit.node_phases.phases.shape[1]
-                max_b = circuit.halfpi_phases.coeffs.shape[1]
-                max_c = circuit.pi_products.psi_const.shape[1]
-                max_d = circuit.phase_pairs.alpha.shape[1]
+                max_a = circuit.node_phases.phases.shape[0]
+                max_b = circuit.halfpi_phases.coeffs.shape[0]
+                max_c = circuit.pi_products.psi_const.shape[0]
+                max_d = circuit.phase_pairs.alpha.shape[0]
                 largest = max(max_a * 16, max_b * 4, max_c * 4, max_d * 16)
                 peak = max(peak, G * largest * 3)
         return max(peak, 1)
@@ -282,6 +298,7 @@ class _CompiledSamplerBase:
 
         batches: list[jax.Array] = []
         reference: np.ndarray | None = None
+        total_dev = None
 
         for _ in range(num_batches):
             f_params_np = self._channel_sampler.sample(batch_size)
@@ -289,15 +306,22 @@ class _CompiledSamplerBase:
                 f_params_np[0] = 0
             f_params = jnp.asarray(f_params_np)
             self._key, subkey = jax.random.split(self._key)
-            samples = sample_program(self._program, f_params, subkey)
+            samples, dev = sample_program_with_deviation(
+                self._program, f_params, subkey
+            )
+            total_dev = dev if total_dev is None else jnp.maximum(total_dev, dev)
             if compute_reference and reference is None:
                 reference = np.asarray(samples[0])
                 samples = samples[1:]
             batches.append(samples)
 
+        # Everything device-side is uint8 (TPU backends may not support bool
+        # transfers); one concat, one d2h, bool view on host.
         combined = batches[0] if len(batches) == 1 else jnp.concatenate(batches, axis=0)
         jax.block_until_ready(combined)
-        result = np.asarray(jax.device_get(combined))[:shots]
+        result = np.asarray(jax.device_get(combined)).view(np.bool_)[:shots]
+        if total_dev is not None:
+            _check_norm_deviation(total_dev)
 
         if compute_reference:
             assert reference is not None
@@ -353,7 +377,8 @@ class _CompiledSamplerBase:
 
         def _dispatch(f_batch, indices, n_valid):
             self._key, subkey = jax.random.split(self._key)
-            out = np.asarray(sample_program(self._program, jnp.asarray(f_batch), subkey))
+            out_dev = sample_program(self._program, jnp.asarray(f_batch), subkey)
+            out = np.asarray(jax.device_get(out_dev)).view(np.bool_)
             result[indices[:n_valid]] = out[:n_valid]
 
         def _flush(final=False):

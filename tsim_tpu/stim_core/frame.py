@@ -18,6 +18,12 @@ from .tableau import ACTIONS_1Q, ACTIONS_2Q, TableauSimulator, _BITS_OF_P
 
 def reference_sample(circuit: Circuit, rng=None) -> np.ndarray:
     """Deterministic noiseless measurement sample (random outcomes -> 0)."""
+    return _run_tableau_forced(circuit, None)
+
+
+def _run_tableau_forced(circuit: Circuit, rng=None) -> np.ndarray:
+    """Noiseless tableau run; non-deterministic outcomes forced to 0 (rng
+    None) or to random bits drawn from ``rng``."""
     flat = circuit.without_noise().flattened()
     n = circuit.num_qubits
     sim = TableauSimulator(max(n, 1))
@@ -32,9 +38,8 @@ def reference_sample(circuit: Circuit, rng=None) -> np.ndarray:
                 q = t.value
                 if pre:
                     sim.apply_gate(pre, [q])
-                out, det = sim.measure(q, forced=None if False else 0)
-                if not det:
-                    out = 0
+                want = 0 if rng is None else int(rng.integers(0, 2))
+                out, det = sim.measure(q, forced=want)
                 if name.startswith("MR"):
                     if out:
                         sim.apply_gate("X", [q])
@@ -46,11 +51,12 @@ def reference_sample(circuit: Circuit, rng=None) -> np.ndarray:
             pl = name[1]
             for i in range(0, len(targets), 2):
                 t0, t1 = targets[i], targets[i + 1]
+                want = 0 if rng is None else int(rng.integers(0, 2))
                 out, det = sim.measure_pauli_product(
-                    [(pl, t0.value), (pl, t1.value)], forced=0
+                    [(pl, t0.value), (pl, t1.value)], forced=want
                 )
                 if not det:
-                    out = 0
+                    out = want
                 rec.append(
                     out
                     ^ int(t0.is_inverted_result_target)
@@ -59,9 +65,10 @@ def reference_sample(circuit: Circuit, rng=None) -> np.ndarray:
             continue
         if name == "MPP":
             for paulis, invert in _iter_pauli_products(instr):
-                out, det = sim.measure_pauli_product(paulis, forced=0)
+                want = 0 if rng is None else int(rng.integers(0, 2))
+                out, det = sim.measure_pauli_product(paulis, forced=want)
                 if not det:
-                    out = 0
+                    out = want
                 rec.append(out ^ int(invert))
             continue
         if name == "MPAD":

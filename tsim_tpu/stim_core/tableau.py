@@ -207,8 +207,8 @@ class TableauSimulator:
             sx, sz, sr, sg = _mul_rows(
                 sx, sz, sr, sg, self.x[n + i], self.z[n + i], int(self.r[n + i])
             )
-        assert sg % 4 == 0, "deterministic measurement with imaginary phase"
-        return int((sr + sg // 2) % 2), True
+        assert sg % 2 == 0, "deterministic measurement with imaginary phase"
+        return int((sr + (sg % 4) // 2) % 2), True
 
     def _rowsum(self, h: int, i: int) -> None:
         sx, sz, sr, sg = _mul_rows(
@@ -217,7 +217,7 @@ class TableauSimulator:
         # Phases of destabilizer rows (h < n) are irrelevant; only stabilizer
         # rows must multiply to a real sign.
         if h >= self.n:
-            assert sg % 4 == 0, "rowsum produced imaginary phase"
+            assert sg % 2 == 0, "rowsum produced imaginary phase"
         self.x[h] = sx
         self.z[h] = sz
         self.r[h] = (sr + (sg % 4) // 2) % 2
