@@ -9,7 +9,12 @@ benchmarked error rate the GPU series sits around 1e-6 s/shot, i.e. about
 """
 
 import json
+import sys
 import time
+
+
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 BASELINE_SHOTS_PER_SEC = 1.0e6  # tsim-CUDA-class throughput on this workload
 
@@ -17,14 +22,18 @@ BASELINE_SHOTS_PER_SEC = 1.0e6  # tsim-CUDA-class throughput on this workload
 def main() -> None:
     from tsim_tpu.models.distillation import distillation_d3
 
+    t0 = time.perf_counter()
     circuit = distillation_d3(p=0.05)
     sampler = circuit.compile_detector_sampler(seed=0)
+    _log(f"host compile {time.perf_counter() - t0:.0f}s")
 
     batch = 16384
     # Warm up: trigger all JIT compilation paths at the benchmark batch size.
+    t0 = time.perf_counter()
     sampler.sample(batch, batch_size=batch)
+    _log(f"device warmup {time.perf_counter() - t0:.0f}s")
 
-    shots = batch * 16
+    shots = batch * 8
     t0 = time.perf_counter()
     det = sampler.sample(shots, batch_size=batch)
     dt = time.perf_counter() - t0

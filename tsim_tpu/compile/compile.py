@@ -57,9 +57,12 @@ def _compile_node_phases(g_list, char_to_idx, n_params) -> NodePhases:
             phases[i, j] = c
             params[i, j] = bits
     # (T, G) layout: the graph axis stays trailing on device (TPU tiling).
+    # Leaves stay numpy so jit embeds them as literals (restricted backends
+    # cannot fetch device arrays during trace-time constant embedding).
     return NodePhases(
-        phases=jnp.array(phases.T), params=jnp.array(params.transpose(1, 0, 2)),
-        counts=jnp.array(counts, dtype=jnp.int32),
+        phases=np.ascontiguousarray(phases.T),
+        params=np.ascontiguousarray(params.transpose(1, 0, 2)),
+        counts=counts,
     )
 
 
@@ -87,7 +90,8 @@ def _compile_halfpi_phases(g_list, char_to_idx, n_params) -> HalfPiPhases:
             coeffs[i, j] = c
             params[i, j] = bits
     return HalfPiPhases(
-        coeffs=jnp.array(coeffs.T), params=jnp.array(params.transpose(1, 0, 2))
+        coeffs=np.ascontiguousarray(coeffs.T),
+        params=np.ascontiguousarray(params.transpose(1, 0, 2)),
     )
 
 
@@ -118,8 +122,10 @@ def _compile_pi_products(g_list, char_to_idx, n_params) -> PiProducts:
             phi_c[i, j] = fc
             phi_p[i, j] = fp
     return PiProducts(
-        psi_const=jnp.array(psi_c.T), psi_params=jnp.array(psi_p.transpose(1, 0, 2)),
-        phi_const=jnp.array(phi_c.T), phi_params=jnp.array(phi_p.transpose(1, 0, 2)),
+        psi_const=np.ascontiguousarray(psi_c.T),
+        psi_params=np.ascontiguousarray(psi_p.transpose(1, 0, 2)),
+        phi_const=np.ascontiguousarray(phi_c.T),
+        phi_params=np.ascontiguousarray(phi_p.transpose(1, 0, 2)),
     )
 
 
@@ -151,9 +157,11 @@ def _compile_phase_pairs(g_list, char_to_idx, n_params) -> PhasePairs:
             ap[i, j] = pa
             bp[i, j] = pb
     return PhasePairs(
-        alpha=jnp.array(alpha.T), alpha_params=jnp.array(ap.transpose(1, 0, 2)),
-        beta=jnp.array(beta.T), beta_params=jnp.array(bp.transpose(1, 0, 2)),
-        counts=jnp.array(counts, dtype=jnp.int32),
+        alpha=np.ascontiguousarray(alpha.T),
+        alpha_params=np.ascontiguousarray(ap.transpose(1, 0, 2)),
+        beta=np.ascontiguousarray(beta.T),
+        beta_params=np.ascontiguousarray(bp.transpose(1, 0, 2)),
+        counts=counts,
     )
 
 
@@ -189,10 +197,10 @@ def _compile_prefactor(g_list) -> ScalarPrefactor:
     # Complex stored as float32 (G, 2) pairs: TPU backends lack complex dtypes.
     approx_ri = np.array([[a.real, a.imag] for a in approx], dtype=np.float32)
     return ScalarPrefactor(
-        phase_indices=jnp.array(phase_idx, dtype=jnp.uint8),
-        floatfactor=jnp.array(np.array(floatfactor, dtype=np.int32).reshape(-1, 4)),
-        power2=jnp.array(power2, dtype=jnp.int32),
-        approximate_floatfactors=jnp.array(approx_ri.reshape(-1, 2)),
+        phase_indices=np.array(phase_idx, dtype=np.uint8),
+        floatfactor=np.array(floatfactor, dtype=np.int32).reshape(-1, 4),
+        power2=np.array(power2, dtype=np.int32),
+        approximate_floatfactors=approx_ri.reshape(-1, 2),
         has_approximate_floatfactors=has_approx,
     )
 

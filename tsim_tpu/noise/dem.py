@@ -97,4 +97,13 @@ def get_detector_error_model(
         raise ValueError(
             "Failed to compute detector error model: observable count changed."
         )
+    # Observables whose only couplings were dropped gauge statements still
+    # exist; declare them so the observable count is preserved.
+    if new_dem.num_observables < stim_circuit.num_observables:
+        for k in range(stim_circuit.num_observables):
+            new_dem.append(
+                DemInstruction(
+                    "logical_observable", [], [target_logical_observable_id(k)]
+                )
+            )
     return new_dem

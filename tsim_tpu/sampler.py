@@ -118,6 +118,26 @@ def sample_program_with_deviation(
     return combined, max_dev
 
 
+_PROGRAM_RUNNERS: dict[int, object] = {}
+
+
+def _program_runner(program: CompiledProgram):
+    """One cached jit per compiled program running the full batch step.
+
+    Keeping every device op inside a single jit matters twice over: XLA
+    fuses the whole step, and restricted TPU backends (axon) do not
+    implement many eager ops (bool concat etc.).
+    """
+    key = id(program)
+    fn = _PROGRAM_RUNNERS.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda f_params, k: sample_program_with_deviation(program, f_params, k)
+        )
+        _PROGRAM_RUNNERS[key] = fn
+    return fn
+
+
 def _check_norm_deviation(max_dev) -> None:
     # rank-1 transfer: some TPU backends cannot fetch rank-0 arrays.
     val = float(np.asarray(jax.device_get(max_dev))[0])
@@ -219,7 +239,8 @@ class _CompiledSamplerBase:
         if not self._program.components:
             return self._compute_direct_outputs(f_ref)[0]
         self._key, subkey = jax.random.split(self._key)
-        out = sample_program(self._program, jnp.asarray(f_ref), subkey)
+        out, dev = _program_runner(self._program)(jnp.asarray(f_ref), subkey)
+        _check_norm_deviation(dev)
         return np.asarray(jax.device_get(out)).view(np.bool_)[0]
 
     # -------------------------------------------------------------- batching
@@ -306,9 +327,7 @@ class _CompiledSamplerBase:
                 f_params_np[0] = 0
             f_params = jnp.asarray(f_params_np)
             self._key, subkey = jax.random.split(self._key)
-            samples, dev = sample_program_with_deviation(
-                self._program, f_params, subkey
-            )
+            samples, dev = _program_runner(self._program)(f_params, subkey)
             total_dev = dev if total_dev is None else jnp.maximum(total_dev, dev)
             if compute_reference and reference is None:
                 reference = np.asarray(samples[0])
@@ -316,10 +335,13 @@ class _CompiledSamplerBase:
             batches.append(samples)
 
         # Everything device-side is uint8 (TPU backends may not support bool
-        # transfers); one concat, one d2h, bool view on host.
-        combined = batches[0] if len(batches) == 1 else jnp.concatenate(batches, axis=0)
-        jax.block_until_ready(combined)
-        result = np.asarray(jax.device_get(combined)).view(np.bool_)[:shots]
+        # transfers). Per-batch d2h (device transfers overlap the next
+        # batch's compute), host-side concat, bool view.
+        host_batches = [np.asarray(jax.device_get(b)) for b in batches]
+        result = (
+            host_batches[0] if len(host_batches) == 1
+            else np.concatenate(host_batches, axis=0)
+        ).view(np.bool_)[:shots]
         if total_dev is not None:
             _check_norm_deviation(total_dev)
 
@@ -377,7 +399,8 @@ class _CompiledSamplerBase:
 
         def _dispatch(f_batch, indices, n_valid):
             self._key, subkey = jax.random.split(self._key)
-            out_dev = sample_program(self._program, jnp.asarray(f_batch), subkey)
+            out_dev, dev = _program_runner(self._program)(jnp.asarray(f_batch), subkey)
+            _check_norm_deviation(dev)
             out = np.asarray(jax.device_get(out_dev)).view(np.bool_)
             result[indices[:n_valid]] = out[:n_valid]
 

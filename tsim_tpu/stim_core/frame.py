@@ -142,9 +142,16 @@ class FrameSampler:
     def sample(self, shots: int):
         """Returns (measurements, detectors, observables) bool arrays."""
         n = max(self.n, 1)
-        fx = np.zeros((shots, n), dtype=bool)
-        fz = np.zeros((shots, n), dtype=bool)
         rng = self.rng
+
+        def rand_bits():
+            return rng.integers(0, 2, shots, dtype=np.uint8).astype(bool)
+
+        # Qubits start reset: the Z-stabilizer gauge direction is random.
+        # This is what turns into genuine measurement randomness downstream
+        # (e.g. H then M samples 50/50 because the random fz becomes fx).
+        fx = np.zeros((shots, n), dtype=bool)
+        fz = np.stack([rand_bits() for _ in range(n)], axis=1)
         rec: list[np.ndarray] = []
         dets: list[np.ndarray] = []
         obs: dict[int, np.ndarray] = {}
@@ -211,12 +218,24 @@ class FrameSampler:
                     rec.append(out)
                     ref_idx += 1
                     if name.startswith("MR"):
-                        fx[:, q] = False
-                        fz[:, q] = False
+                        if basis == "Z":
+                            fx[:, q] = False
+                            fz[:, q] = rand_bits()
+                        elif basis == "X":
+                            fz[:, q] = False
+                            fx[:, q] = rand_bits()
+                        else:
+                            r = rand_bits()
+                            fx[:, q] = r
+                            fz[:, q] = r
                     elif basis == "Z":
-                        fz[:, q] = rng.integers(0, 2, shots, dtype=np.uint8).astype(bool)
+                        fz[:, q] = rand_bits()
                     elif basis == "X":
-                        fx[:, q] = rng.integers(0, 2, shots, dtype=np.uint8).astype(bool)
+                        fx[:, q] = rand_bits()
+                    else:
+                        r = rand_bits()
+                        fx[:, q] ^= r
+                        fz[:, q] ^= r
                 continue
             if name in ("MXX", "MYY", "MZZ"):
                 p = args[0] if args else 0.0
@@ -234,6 +253,13 @@ class FrameSampler:
                         out ^= rng.random(shots) < p
                     rec.append(out)
                     ref_idx += 1
+                    # Randomize the measured product's gauge direction.
+                    r = rand_bits()
+                    for q in (q0, q1):
+                        if pl in ("X", "Y"):
+                            fx[:, q] ^= r
+                        if pl in ("Z", "Y"):
+                            fz[:, q] ^= r
                 continue
             if name == "MPP":
                 p = args[0] if args else 0.0
@@ -251,6 +277,12 @@ class FrameSampler:
                         out ^= rng.random(shots) < p
                     rec.append(out)
                     ref_idx += 1
+                    r = rand_bits()
+                    for pl, q in paulis:
+                        if pl in ("X", "Y"):
+                            fx[:, q] ^= r
+                        if pl in ("Z", "Y"):
+                            fz[:, q] ^= r
                 continue
             if name == "MPAD":
                 p = args[0] if args else 0.0
@@ -263,8 +295,17 @@ class FrameSampler:
                 continue
             if name in ("R", "RZ", "RX", "RY"):
                 for t in targets:
-                    fx[:, t.value] = False
-                    fz[:, t.value] = False
+                    q = t.value
+                    if name in ("R", "RZ"):
+                        fx[:, q] = False
+                        fz[:, q] = rand_bits()
+                    elif name == "RX":
+                        fz[:, q] = False
+                        fx[:, q] = rand_bits()
+                    else:
+                        r = rand_bits()
+                        fx[:, q] = r
+                        fz[:, q] = r
                 continue
             if name == "X_ERROR":
                 for t in targets:
