@@ -1,0 +1,130 @@
+"""Sampler behavior tests: batching, reference samples, layouts, repr."""
+
+import numpy as np
+import pytest
+
+import tsim_tpu
+
+
+@pytest.fixture(scope="module")
+def bell_sampler():
+    c = tsim_tpu.Circuit(
+        """
+        H 0
+        CNOT 0 1
+        X_ERROR(0.3) 0
+        M 0 1
+        DETECTOR rec[-1] rec[-2]
+        OBSERVABLE_INCLUDE(0) rec[-1]
+        """
+    )
+    return c.compile_detector_sampler(seed=0)
+
+
+def test_detector_rate(bell_sampler):
+    det = bell_sampler.sample(4000, batch_size=4000)
+    assert det.shape == (4000, 1)
+    assert abs(det.mean() - 0.3) < 0.03
+
+
+def test_observable_layouts(bell_sampler):
+    det, obs = bell_sampler.sample(100, batch_size=100, separate_observables=True)
+    assert det.shape == (100, 1) and obs.shape == (100, 1)
+    both = bell_sampler.sample(100, batch_size=100, append_observables=True)
+    assert both.shape == (100, 2)
+    pre = bell_sampler.sample(100, batch_size=100, prepend_observables=True)
+    assert pre.shape == (100, 2)
+    packed = bell_sampler.sample(100, batch_size=100, bit_packed=True)
+    assert packed.dtype == np.uint8 and packed.shape == (100, 1)
+    with pytest.raises(ValueError):
+        bell_sampler.sample(10, separate_observables=True, append_observables=True)
+
+
+def test_zero_shots(bell_sampler):
+    out = bell_sampler.sample(0, batch_size=16)
+    assert out.shape == (0, 1)
+
+
+def test_shots_not_multiple_of_batch(bell_sampler):
+    out = bell_sampler.sample(257, batch_size=100)
+    assert out.shape == (257, 1)
+
+
+def test_seeded_determinism():
+    c = tsim_tpu.Circuit("H 0\nT 0\nH 0\nX_ERROR(0.2) 0\nM 0")
+    a = c.compile_sampler(seed=5).sample(500, batch_size=100)
+    b = c.compile_sampler(seed=5).sample(500, batch_size=100)
+    np.testing.assert_array_equal(a, b)
+    c2 = c.compile_sampler(seed=6).sample(500, batch_size=100)
+    assert not np.array_equal(a, c2)
+
+
+def test_reference_sample_xor():
+    # Deterministic-one detector: reference XOR flips it to zero.
+    c = tsim_tpu.Circuit(
+        """
+        R 0
+        X 0
+        X_ERROR(0.25) 0
+        M 0
+        DETECTOR rec[-1]
+        """
+    )
+    s = c.compile_detector_sampler(seed=1)
+    raw = s.sample(3000, batch_size=3000)
+    assert abs(raw.mean() - 0.75) < 0.04  # raw parity is 1 unless error
+    flips = s.sample(3000, batch_size=3000, use_detector_reference_sample=True)
+    assert abs(flips.mean() - 0.25) < 0.04
+
+
+def test_measurement_sampler_shapes():
+    c = tsim_tpu.Circuit("H 0\nCNOT 0 1\nM 0 1")
+    out = c.compile_sampler(seed=0).sample(128, batch_size=64)
+    assert out.shape == (128, 2)
+    assert (out[:, 0] == out[:, 1]).all()
+
+
+def test_repr_stats(bell_sampler):
+    r = repr(bell_sampler)
+    assert "CompiledDetectorSampler" in r
+    assert "direct" in r and "graphs" in r
+
+
+def test_postselection_mask():
+    c = tsim_tpu.Circuit(
+        """
+        H 0
+        CNOT 0 1
+        X_ERROR(0.4) 0
+        T 1
+        M 0 1
+        DETECTOR rec[-1] rec[-2]
+        DETECTOR rec[-1]
+        OBSERVABLE_INCLUDE(0) rec[-2]
+        """
+    )
+    s = c.compile_detector_sampler(seed=2)
+    mask = np.array([True, False])
+    det, obs = s.sample(
+        500, batch_size=128, separate_observables=True, postselection_mask=mask
+    )
+    assert det.shape == (500, 2)
+    # masked direct detector: discarded rows keep the detector column
+    survivors = ~det[:, 0]
+    assert survivors.sum() > 0
+
+
+def test_probability_of_validation():
+    c = tsim_tpu.Circuit("H 0\nM 0")
+    sp = c.compile_state_probs(seed=0)
+    with pytest.raises(ValueError, match="batch_size"):
+        sp.probability_of(np.array([0]), batch_size=0)
+    with pytest.raises(ValueError, match="shape"):
+        sp.probability_of(np.array([0, 1]), batch_size=1)
+
+
+def test_negative_shots(bell_sampler):
+    with pytest.raises(ValueError, match="non-negative"):
+        bell_sampler.sample(-1)
+    with pytest.raises(ValueError, match="at least 1"):
+        bell_sampler.sample(10, batch_size=0)

@@ -62,12 +62,22 @@ def _evaluate_parts(circuit: CompiledScalarGraphs, param_vals: Array):
     return total
 
 
+def _anchor(out: Array, param_vals: Array) -> Array:
+    """Tie a (possibly constant) result to the inputs.
+
+    Parameter-free circuits constant-fold to literal outputs, which some TPU
+    backends cannot materialize; a zero-valued data dependence keeps the
+    program non-constant at no cost.
+    """
+    return out + 0.0 * jnp.sum(param_vals, axis=-1).astype(out.dtype)
+
+
 @jax.jit
 def evaluate_abs(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
     """|amplitude| per batch row, all-real arithmetic (TPU-safe)."""
     prefactor = circuit.prefactor
     if prefactor.phase_indices.shape[0] == 0:
-        return jnp.zeros(param_vals.shape[0], dtype=jnp.float32)
+        return _anchor(jnp.zeros(param_vals.shape[0], dtype=jnp.float32), param_vals)
     total = _evaluate_parts(circuit, param_vals)
     if not prefactor.has_approximate_floatfactors:
         summed = ExactScalarArray(
@@ -75,7 +85,7 @@ def evaluate_abs(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
         ).sum()
         re, im = _coeffs_to_real_imag(summed.coeffs)
         mag = jnp.sqrt(re * re + im * im)
-        return mag * jnp.exp2(summed.power.astype(jnp.float32))
+        return _anchor(mag * jnp.exp2(summed.power.astype(jnp.float32)), param_vals)
     re, im = _coeffs_to_real_imag(total.coeffs)
     scale = jnp.exp2(
         (total.power + prefactor.power2).astype(jnp.float32)
@@ -84,7 +94,7 @@ def evaluate_abs(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
     fim = prefactor.approximate_floatfactors[..., 1] * scale
     out_re = jnp.sum(re * fre - im * fim, axis=-1)
     out_im = jnp.sum(re * fim + im * fre, axis=-1)
-    return jnp.sqrt(out_re * out_re + out_im * out_im)
+    return _anchor(jnp.sqrt(out_re * out_re + out_im * out_im), param_vals)
 
 
 def evaluate(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:

@@ -137,7 +137,7 @@ def _compile_component(
 
     return CompiledComponent(
         output_indices=tuple(output_indices),
-        f_selection=np.array(f_selection, dtype=np.int32),
+        f_selection=tuple(int(i) for i in f_selection),
         compiled_scalar_graphs=tuple(compiled_graphs),
     )
 

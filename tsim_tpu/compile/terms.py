@@ -40,6 +40,11 @@ UNIT_PHASES_T = UNIT_PHASES.T.copy()
 _ONE_PLUS_PHASES_T = _ONE_PLUS_PHASES.T.copy()
 
 
+def _identity_esa(batch: int, num_graphs: int) -> ExactScalarArray:
+    c = jnp.zeros((4, batch, num_graphs), dtype=jnp.int32).at[0].set(1)
+    return ExactScalarArray.from_coeffs(c)
+
+
 def omega_coeffs(k: Array) -> Array:
     """Exact (4, ...) coefficients of w^k via arithmetic (gather-free).
 
@@ -73,10 +78,13 @@ class NodePhases:
     counts: Array
 
     def evaluate(self, param_vals: Array) -> ExactScalarArray:
+        T, G = self.phases.shape
+        if T == 0:
+            return _identity_esa(param_vals.shape[0], G)
         rowsum = matmul_gf2(self.params, param_vals)  # (B, T, G)
         phase_idx = (4 * rowsum + self.phases) % 8
         term_vals = one_plus_omega_coeffs(phase_idx)  # (4, B, T, G)
-        mask = jnp.arange(self.phases.shape[0])[:, None] < self.counts[None, :]
+        mask = jnp.arange(T)[:, None] < self.counts[None, :]
         ident = jnp.asarray(_IDENTITY).reshape(4, 1, 1, 1)
         term_vals = jnp.where(mask[None], term_vals, ident)
         return ExactScalarArray.from_coeffs(term_vals).prod(axis=1)
@@ -90,6 +98,9 @@ class HalfPiPhases:
     params: Array  # (T, G, P)
 
     def evaluate(self, param_vals: Array) -> ExactScalarArray:
+        T, G = self.coeffs.shape
+        if T == 0:
+            return _identity_esa(param_vals.shape[0], G)
         rowsum = matmul_gf2(self.params, param_vals)  # (B, T, G)
         phase_idx = (rowsum * self.coeffs) % 8
         total = jnp.sum(phase_idx, axis=1) % 8
@@ -106,6 +117,9 @@ class PiProducts:
     phi_params: Array  # (T, G, P)
 
     def evaluate(self, param_vals: Array) -> ExactScalarArray:
+        T, G = self.psi_const.shape
+        if T == 0:
+            return _identity_esa(param_vals.shape[0], G)
         psi = (self.psi_const + matmul_gf2(self.psi_params, param_vals)) % 2
         phi = (self.phi_const + matmul_gf2(self.phi_params, param_vals)) % 2
         exponent = jnp.sum((psi * phi) % 2, axis=1) % 2  # (B, G)
@@ -125,6 +139,9 @@ class PhasePairs:
     counts: Array  # (G,)
 
     def evaluate(self, param_vals: Array) -> ExactScalarArray:
+        T, G = self.alpha.shape
+        if T == 0:
+            return _identity_esa(param_vals.shape[0], G)
         ra = matmul_gf2(self.alpha_params, param_vals)
         rb = matmul_gf2(self.beta_params, param_vals)
         a = (self.alpha + 4 * ra) % 8

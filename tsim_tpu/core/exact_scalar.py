@@ -126,6 +126,23 @@ class ExactScalarArray:
     def sum(self, axis: int = -1) -> "ExactScalarArray":
         if axis < 0:
             axis += self.power.ndim
+        n = self.power.shape[axis]
+        if n <= 16:
+            # Static fold (also avoids zero/short scans, which some TPU
+            # backends cannot execute).
+            def take(i):
+                pw = lax.index_in_dim(self.power, i, axis, keepdims=False)
+                cf = lax.index_in_dim(self.coeffs, i, axis + 1, keepdims=False)
+                return pw, cf
+            if n == 0:
+                shape = self.power.shape[:axis] + self.power.shape[axis + 1 :]
+                return ExactScalarArray.from_coeffs(
+                    jnp.zeros((4,) + shape, dtype=self.coeffs.dtype)
+                )
+            acc = take(0)
+            for i in range(1, n):
+                acc = _add_with_power(acc, take(i))
+            return ExactScalarArray(coeffs=acc[1], power=acc[0])
         p, c = _reduce_along_scan(self.power, self.coeffs, _add_with_power, axis)
         return ExactScalarArray(coeffs=c, power=p)
 

@@ -39,7 +39,7 @@ class CompiledComponent:
     """
 
     output_indices: tuple = static_field()
-    f_selection: Array = None
+    f_selection: tuple = static_field(default=())
     compiled_scalar_graphs: tuple = None
 
 

@@ -77,6 +77,18 @@ def find_basis(vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return vecs[basis_rows], transform
 
 
+def static_take_columns(x: Array, idx) -> Array:
+    """Column selection with STATIC indices via slice+concat (gather-free).
+
+    Dynamic gathers are unimplemented on some TPU backends; for the static
+    index arrays used throughout the sampler this compiles to pure slices.
+    """
+    idx = [int(i) for i in np.asarray(idx).ravel()]
+    if not idx:
+        return x[:, :0]
+    return jnp.concatenate([x[:, i : i + 1] for i in idx], axis=1)
+
+
 def matmul_gf2(a: Array, b: Array) -> Array:
     """Binary dot products mod 2: ``a_(T,G,P) x b_(B,P) -> (B,T,G)``.
 

@@ -18,6 +18,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.types import CompiledProgram
+from ..ops.gf2 import static_take_columns
 from ..sampler import _sample_component
 
 
@@ -48,7 +49,7 @@ def sharded_sample_program(
         max_dev = jnp.zeros(())
         if len(program.direct_f_indices) > 0:
             outs.append(
-                f_local[:, program.direct_f_indices].astype(jnp.uint8)
+                static_take_columns(f_local, program.direct_f_indices).astype(jnp.uint8)
                 ^ np.asarray(program.direct_flips, dtype=np.uint8)
             )
         for component in program.components:
@@ -59,7 +60,7 @@ def sharded_sample_program(
             (f_local.shape[0], 0), jnp.uint8
         )
         if program.output_reindex is not None:
-            combined = combined[:, program.output_reindex]
+            combined = static_take_columns(combined, program.output_reindex)
         max_dev = jax.lax.pmax(max_dev, axis_name)
         return combined, max_dev
 

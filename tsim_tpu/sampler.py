@@ -22,6 +22,7 @@ from .compile.pipeline import compile_program
 from .core.graph_prep import prepare_graph
 from .core.types import CompiledComponent, CompiledProgram
 from .noise.channels import ChannelSampler
+from .ops.gf2 import static_take_columns
 
 if TYPE_CHECKING:
     from .circuit import Circuit
@@ -39,7 +40,7 @@ def _sample_component(
     batch_size = f_params.shape[0]
     num_outputs = len(component.compiled_scalar_graphs) - 1
 
-    f_selected = f_params[:, component.f_selection].astype(jnp.uint8)
+    f_selected = static_take_columns(f_params, component.f_selection).astype(jnp.uint8)
     m_accumulated = jnp.zeros((batch_size, num_outputs), dtype=jnp.uint8)
 
     prev = evaluate_abs(component.compiled_scalar_graphs[0], f_selected)
@@ -102,7 +103,7 @@ def sample_program_with_deviation(
 
     if len(program.direct_f_indices) > 0:
         direct_bits = (
-            f_params[:, program.direct_f_indices].astype(jnp.uint8)
+            static_take_columns(f_params, program.direct_f_indices).astype(jnp.uint8)
             ^ program.direct_flips.astype(np.uint8)
         )
         results.append(direct_bits)
@@ -114,7 +115,7 @@ def sample_program_with_deviation(
 
     combined = jnp.concatenate(results, axis=1)
     if program.output_reindex is not None:
-        combined = combined[:, program.output_reindex]
+        combined = static_take_columns(combined, program.output_reindex)
     return combined, max_dev
 
 
@@ -642,16 +643,18 @@ class CompiledStateProbs(_CompiledSamplerBase):
 
         if len(self._program.direct_f_indices) > 0:
             direct_bits = (
-                f_samples[:, self._program.direct_f_indices].astype(jnp.bool_)
-                ^ self._program.direct_flips
-            )
+                static_take_columns(f_samples, self._program.direct_f_indices).astype(
+                    jnp.uint8
+                )
+                ^ self._program.direct_flips.astype(np.uint8)
+            ).astype(jnp.bool_)
             n_direct = len(self._program.direct_f_indices)
             targets = state[np.asarray(self._program.output_order[:n_direct])]
             p_joint = p_joint * (direct_bits == jnp.asarray(targets)).all(axis=1)
 
         for component in self._program.components:
             assert len(component.compiled_scalar_graphs) == 2
-            f_selected = f_samples[:, component.f_selection]
+            f_selected = static_take_columns(f_samples, component.f_selection)
             norm_circuit, joint_circuit = component.compiled_scalar_graphs
             p_norm = p_norm * evaluate_abs(norm_circuit, f_selected)
             component_state = state[list(component.output_indices)]
