@@ -21,9 +21,13 @@ import jax
 import jax.numpy as jnp
 from jax import Array, lax
 
+import numpy as _np
+
 from ..utils.pytree import pytree_dataclass
 
-_E4 = jnp.exp(1j * jnp.pi / 4)
+# numpy scalar, NOT a device op: module-level eager complex math would
+# execute on import and poisons TPU backends without complex support.
+_E4 = _np.exp(1j * _np.pi / 4)
 
 _SCAN_UNROLL = 4
 
