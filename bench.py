@@ -20,6 +20,12 @@ BASELINE_SHOTS_PER_SEC = 1.0e6  # tsim-CUDA-class throughput on this workload
 
 
 def main() -> None:
+    import jax
+
+    # Persistent compile cache: repeat runs skip minutes of TPU compilation.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from tsim_tpu.models.distillation import distillation_d3
 
     t0 = time.perf_counter()
