@@ -34,12 +34,13 @@ def main() -> None:
     _log(f"host compile {time.perf_counter() - t0:.0f}s")
 
     batch = 16384
-    # Warm up: trigger all JIT compilation paths at the benchmark batch size.
+    shots = batch * 64  # ~1M shots, all inside ONE device dispatch
+    # Warm up: first call compiles the full on-device run (noise sampling +
+    # 64-batch lax.map ladder) — the timed call below reuses the jit.
     t0 = time.perf_counter()
-    sampler.sample(batch, batch_size=batch)
+    sampler.sample(shots, batch_size=batch)
     _log(f"device warmup {time.perf_counter() - t0:.0f}s")
 
-    shots = batch * 8
     t0 = time.perf_counter()
     det = sampler.sample(shots, batch_size=batch)
     dt = time.perf_counter() - t0

@@ -22,6 +22,7 @@ from .compile.pipeline import compile_program
 from .core.graph_prep import prepare_graph
 from .core.types import CompiledComponent, CompiledProgram
 from .noise.channels import ChannelSampler
+from .noise.device_channels import DeviceChannelSampler
 from .ops.gf2 import static_take_columns
 
 if TYPE_CHECKING:
@@ -120,6 +121,40 @@ def sample_program_with_deviation(
 
 
 _PROGRAM_RUNNERS: dict[int, object] = {}
+_DEVICE_RUNNERS: dict[tuple, object] = {}
+
+
+def _device_run_fn(
+    program: CompiledProgram,
+    device_channels: DeviceChannelSampler,
+    num_batches: int,
+    batch_size: int,
+):
+    """One jit that samples noise AND runs every batch on device.
+
+    The per-batch alternative costs two tunnel round trips per batch on
+    remote TPU backends (h2d of host-sampled noise, d2h of samples); here a
+    single dispatch runs ``lax.map`` over per-batch RNG keys and returns all
+    samples in one transfer.
+    """
+    cache_key = (id(program), id(device_channels), num_batches, batch_size)
+    fn = _DEVICE_RUNNERS.get(cache_key)
+    if fn is None:
+
+        def one(kpair):
+            f_params = device_channels.sample(kpair[0], batch_size)
+            return sample_program_with_deviation(program, f_params, kpair[1])
+
+        def run(kpairs):
+            if num_batches == 1:
+                out, dev = one(kpairs[0])
+                return out[None], dev
+            outs, devs = jax.lax.map(one, kpairs)
+            return outs, jnp.max(devs, axis=0)
+
+        fn = jax.jit(run)
+        _DEVICE_RUNNERS[cache_key] = fn
+    return fn
 
 
 def _program_runner(program: CompiledProgram):
@@ -191,6 +226,8 @@ class _CompiledSamplerBase:
             error_transform=prepared.error_transform,
             seed=channel_seed,
         )
+
+        self._device_channels = DeviceChannelSampler(self._channel_sampler)
 
         self.circuit = circuit
         self._num_detectors = prepared.num_detectors
@@ -315,36 +352,27 @@ class _CompiledSamplerBase:
         else:
             num_batches = ceil(shots / batch_size)
 
-        if compute_reference and batch_size * num_batches == shots:
-            batch_size += 1
-
-        batches: list[jax.Array] = []
         reference: np.ndarray | None = None
-        total_dev = None
+        if compute_reference:
+            reference = self._compute_reference_sample()
 
-        for _ in range(num_batches):
-            f_params_np = self._channel_sampler.sample(batch_size)
-            if compute_reference and reference is None:
-                f_params_np[0] = 0
-            f_params = jnp.asarray(f_params_np)
-            self._key, subkey = jax.random.split(self._key)
-            samples, dev = _program_runner(self._program)(f_params, subkey)
-            total_dev = dev if total_dev is None else jnp.maximum(total_dev, dev)
-            if compute_reference and reference is None:
-                reference = np.asarray(samples[0])
-                samples = samples[1:]
-            batches.append(samples)
-
-        # Everything device-side is uint8 (TPU backends may not support bool
-        # transfers). Per-batch d2h (device transfers overlap the next
-        # batch's compute), host-side concat, bool view.
-        host_batches = [np.asarray(jax.device_get(b)) for b in batches]
+        # Fully on-device run: noise sampling + all batches inside one jit.
+        # One eager split, one dispatch, one d2h — per-batch tunnel round
+        # trips are the dominant cost on remote TPU backends.
+        keys = jax.random.split(self._key, 2 * num_batches + 1)
+        self._key = keys[0]
+        kpairs = keys[1:].reshape(num_batches, 2)
+        runner = _device_run_fn(
+            self._program, self._device_channels, num_batches, batch_size
+        )
+        outs, dev = runner(kpairs)
+        # Device side is uint8 (TPU backends may not support bool transfers).
         result = (
-            host_batches[0] if len(host_batches) == 1
-            else np.concatenate(host_batches, axis=0)
-        ).view(np.bool_)[:shots]
-        if total_dev is not None:
-            _check_norm_deviation(total_dev)
+            np.asarray(jax.device_get(outs))
+            .reshape(num_batches * batch_size, -1)
+            .view(np.bool_)[:shots]
+        )
+        _check_norm_deviation(dev)
 
         if compute_reference:
             assert reference is not None
