@@ -144,3 +144,43 @@ class TestFamilies:
                 b = (beta[t, 0] + 4 * brute_parity(bp[t, 0], bits)) % 8
                 want *= 1 + W**a + W**b - W ** ((a + b) % 8)
             np.testing.assert_allclose(out[0], want, atol=1e-6)
+
+
+def test_tree_reductions_match_bruteforce():
+    """Tree prod/sum must equal term-by-term exact reduction (any N)."""
+    import numpy as np
+    from tsim_tpu.core.exact_scalar import ExactScalarArray
+
+    rng = np.random.default_rng(3)
+    w = np.exp(1j * np.pi / 4)
+    for n in [1, 2, 3, 7, 16, 33]:
+        # Realistic product leaves: 1 + w^k terms (|v| <= 2, like the
+        # compiled term families), so exact products fit int32 even at n=33.
+        ks = rng.integers(0, 8, size=(n, 5))
+        coeffs = np.zeros((4, n, 5), np.int32)
+        coeffs[0] = 1
+        sign = np.where(ks >= 4, -1, 1)
+        for j in range(4):
+            np.add.at(coeffs, (j,), np.where(ks % 4 == j, sign, 0))
+        power = rng.integers(-3, 4, size=(n, 5)).astype(np.int32)
+        esa = ExactScalarArray(coeffs=jnp.asarray(coeffs), power=jnp.asarray(power))
+        vals = (
+            coeffs[0] + coeffs[1] * w + coeffs[2] * 1j + coeffs[3] * w**3
+        ) * np.exp2(power)
+        got = esa.prod(axis=0)
+        re, im = got.to_real_imag()
+        np.testing.assert_allclose(
+            np.asarray(re) + 1j * np.asarray(im), vals.prod(axis=0),
+            rtol=1e-5, atol=1e-6,
+        )
+        # Sums: arbitrary small coefficients are safe (growth is linear).
+        coeffs = rng.integers(-2, 3, size=(4, n, 5)).astype(np.int32)
+        esa = ExactScalarArray(coeffs=jnp.asarray(coeffs), power=jnp.asarray(power))
+        vals = (
+            coeffs[0] + coeffs[1] * w + coeffs[2] * 1j + coeffs[3] * w**3
+        ) * np.exp2(power)
+        re, im = esa.sum(axis=0).to_real_imag()
+        np.testing.assert_allclose(
+            np.asarray(re) + 1j * np.asarray(im), vals.sum(axis=0),
+            rtol=1e-5, atol=1e-6,
+        )

@@ -1,0 +1,373 @@
+"""Fused Pallas TPU kernel for compiled-scalar-graph evaluation.
+
+The XLA path in ``evaluate.py`` materializes (4, B, T, G) int32 term arrays
+in HBM between every step of the exact product — the sampler's dominant
+memory traffic. This kernel keeps everything for one (batch-tile,
+graph-tile) in VMEM: parity matmuls on the MXU, term-coefficient
+construction, the exact Z[w] ring product over all four term families, the
+static prefactor, and the exact sum across the graph tile. Only the tiny
+per-tile partial sums (B, G/Gt, 4+1 ints) ever return to HBM.
+
+Semantics are bit-identical to ``evaluate.evaluate_abs`` (verified by
+tests/unit/compile/test_pallas_evaluate.py); the public entry point
+``evaluate_abs_auto`` dispatches to the kernel on TPU and to the XLA path
+elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array, lax
+from jax.experimental import pallas as pl
+
+from ..core.exact_scalar import ExactScalarArray, _add_with_power
+from .compile import CompiledScalarGraphs
+from .evaluate import evaluate_abs as _evaluate_abs_xla
+from .evaluate import _anchor, _coeffs_to_real_imag
+
+_BT = 128  # batch tile
+_GT = 128  # graph tile
+
+
+def _pad_to(x: np.ndarray | Array, size: int, axis: int, value=0):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    if isinstance(x, np.ndarray):
+        return np.pad(x, widths, constant_values=value)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+# --------------------------------------------------------------- in-kernel
+# Exact Z[w] arithmetic on 4 separate int32 tiles (c0..c3) plus a power
+# tile; mirrors core/exact_scalar.py but register/VMEM-resident.
+
+def _k_reduce_step(c, p):
+    even = ((c[0] | c[1] | c[2] | c[3]) & 1) == 0
+    nonzero = (c[0] != 0) | (c[1] != 0) | (c[2] != 0) | (c[3] != 0)
+    red = even & nonzero
+    c = tuple(jnp.where(red, ci >> 1, ci) for ci in c)
+    return c, jnp.where(red, p + 1, p)
+
+
+def _k_mul(a, b):
+    a0, a1, a2, a3 = a
+    b0, b1, b2, b3 = b
+    return (
+        a0 * b0 - a1 * b3 - a2 * b2 - a3 * b1,
+        a0 * b1 + a1 * b0 - a2 * b3 - a3 * b2,
+        a0 * b2 + a1 * b1 + a2 * b0 - a3 * b3,
+        a0 * b3 + a1 * b2 + a2 * b1 + a3 * b0,
+    )
+
+
+def _k_mul_acc(acc, accp, term, termp):
+    c = _k_mul(acc, term)
+    return _k_reduce_step(c, accp + termp)
+
+
+def _k_omega(k):
+    """Coefficient 4-tuple of w^k (k int32 tile, 0..7)."""
+    sign = 1 - 2 * (k >> 2)
+    km = k & 3
+    return tuple(jnp.where(km == j, sign, 0).astype(jnp.int32) for j in range(4))
+
+
+def _k_parities(params_ref, x_f32, T, Gt):
+    """(Bt, T, Gt) int32 parities of params @ x^T mod 2 via one MXU dot."""
+    w = params_ref[...].astype(jnp.float32).reshape(T * Gt, -1)
+    prod = lax.dot_general(
+        x_f32, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Bt, T*Gt)
+    return prod.astype(jnp.int32).reshape(x_f32.shape[0], T, Gt) & 1
+
+
+def _kernel(
+    dims,
+    x_ref,            # (Bt, P) uint8 param values
+    np_phases_ref,    # (T1, Gt) int32
+    np_params_ref,    # (T1, Gt, P) uint8
+    np_counts_ref,    # (1, Gt) int32
+    hp_coeffs_ref,    # (T2, Gt) int32
+    hp_params_ref,    # (T2, Gt, P) uint8
+    pp_psi_c_ref,     # (T3, Gt) int32
+    pp_psi_p_ref,     # (T3, Gt, P) uint8
+    pp_phi_c_ref,     # (T3, Gt) int32
+    pp_phi_p_ref,     # (T3, Gt, P) uint8
+    qp_alpha_ref,     # (T4, Gt) int32
+    qp_alpha_p_ref,   # (T4, Gt, P) uint8
+    qp_beta_ref,      # (T4, Gt) int32
+    qp_beta_p_ref,    # (T4, Gt, P) uint8
+    qp_counts_ref,    # (1, Gt) int32
+    pf_phase_ref,     # (1, Gt) int32
+    pf_ff_ref,        # (4, Gt) int32
+    pf_pow_ref,       # (1, Gt) int32
+    out_c_ref,        # (Bt, 4) int32
+    out_p_ref,        # (Bt, 1) int32
+):
+    T1, T2, T3, T4, Gt = dims
+    x = x_ref[...].astype(jnp.float32)
+    Bt = x.shape[0]
+
+    acc = (
+        jnp.ones((Bt, Gt), jnp.int32),
+        jnp.zeros((Bt, Gt), jnp.int32),
+        jnp.zeros((Bt, Gt), jnp.int32),
+        jnp.zeros((Bt, Gt), jnp.int32),
+    )
+    accp = jnp.zeros((Bt, Gt), jnp.int32)
+
+    # ---- node phases: prod of (1 + w^(phases + 4*parity)), masked by count
+    if T1:
+        par = _k_parities(np_params_ref, x, T1, Gt)
+        counts = np_counts_ref[0][None, :]  # (1, Gt)
+        phases = np_phases_ref[...]
+        for t in range(T1):
+            idx = (phases[t][None, :] + 4 * par[:, t, :]) & 7
+            c = _k_omega(idx)
+            live = (t < counts)
+            term = (
+                jnp.where(live, c[0] + 1, 1),
+                jnp.where(live, c[1], 0),
+                jnp.where(live, c[2], 0),
+                jnp.where(live, c[3], 0),
+            )
+            acc, accp = _k_mul_acc(acc, accp, term, 0)
+
+    # ---- half-pi phases: single w^(sum of coeffs*parity mod 8) factor
+    if T2:
+        par = _k_parities(hp_params_ref, x, T2, Gt)
+        coeffs = hp_coeffs_ref[...]
+        total = jnp.zeros((Bt, Gt), jnp.int32)
+        for t in range(T2):
+            total = total + coeffs[t][None, :] * par[:, t, :]
+        c = _k_omega(total & 7)
+        acc, accp = _k_mul_acc(acc, accp, c, 0)
+
+    # ---- pi products: global sign (-1)^(sum psi*phi)
+    if T3:
+        par_psi = _k_parities(pp_psi_p_ref, x, T3, Gt)
+        par_phi = _k_parities(pp_phi_p_ref, x, T3, Gt)
+        psi_c = pp_psi_c_ref[...]
+        phi_c = pp_phi_c_ref[...]
+        expo = jnp.zeros((Bt, Gt), jnp.int32)
+        for t in range(T3):
+            psi = (psi_c[t][None, :] + par_psi[:, t, :]) & 1
+            phi = (phi_c[t][None, :] + par_phi[:, t, :]) & 1
+            expo = expo ^ (psi & phi)
+        sign = 1 - 2 * expo
+        acc = tuple(ci * sign for ci in acc)
+
+    # ---- phase pairs: prod of (1 + w^a + w^b - w^(a+b)), masked by count
+    if T4:
+        par_a = _k_parities(qp_alpha_p_ref, x, T4, Gt)
+        par_b = _k_parities(qp_beta_p_ref, x, T4, Gt)
+        alpha = qp_alpha_ref[...]
+        beta = qp_beta_ref[...]
+        counts = qp_counts_ref[0][None, :]
+        for t in range(T4):
+            a = (alpha[t][None, :] + 4 * par_a[:, t, :]) & 7
+            b = (beta[t][None, :] + 4 * par_b[:, t, :]) & 7
+            g = (a + b) & 7
+            ca, cb, cg = _k_omega(a), _k_omega(b), _k_omega(g)
+            live = (t < counts)
+            term = tuple(
+                jnp.where(
+                    live,
+                    ca[j] + cb[j] - cg[j] + (1 if j == 0 else 0),
+                    1 if j == 0 else 0,
+                )
+                for j in range(4)
+            )
+            acc, accp = _k_mul_acc(acc, accp, term, 0)
+
+    # ---- static prefactor: w^phase * floatfactor * 2^power2
+    pf = _k_omega(pf_phase_ref[0][None, :] & 7)
+    acc, accp = _k_mul_acc(acc, accp, pf, 0)
+    ff = tuple(pf_ff_ref[j][None, :] * jnp.ones((Bt, 1), jnp.int32) for j in range(4))
+    acc, accp = _k_mul_acc(acc, accp, ff, 0)
+    accp = accp + pf_pow_ref[0][None, :]
+
+    # ---- exact tree sum across the graph tile
+    n = Gt
+    while n > 1:
+        h = n // 2
+        a = (tuple(ci[:, :h] for ci in acc), accp[:, :h])
+        b = (tuple(ci[:, h : 2 * h] for ci in acc), accp[:, h : 2 * h])
+        d1 = jnp.clip(a[1] - b[1], 0, 30)
+        d2 = jnp.clip(b[1] - a[1], 0, 30)
+        s1 = jnp.left_shift(jnp.ones_like(d1), d1)
+        s2 = jnp.left_shift(jnp.ones_like(d2), d2)
+        c = tuple(a[0][j] * s1 + b[0][j] * s2 for j in range(4))
+        p = jnp.minimum(a[1], b[1])
+        c, p = _k_reduce_step(c, p)
+        if n % 2:
+            c = tuple(
+                jnp.concatenate([c[j], acc[j][:, -1:]], axis=1) for j in range(4)
+            )
+            p = jnp.concatenate([p, accp[:, -1:]], axis=1)
+        acc, accp = c, p
+        n = (n + 1) // 2 if n % 2 else h
+
+    out_c_ref[...] = jnp.concatenate([acc[j] for j in range(4)], axis=1)
+    out_p_ref[...] = accp
+
+
+def _family_blocks(circuit: CompiledScalarGraphs, G_pad: int, P: int):
+    """Pad all family tensors to (T, G_pad[, P]) numpy blocks."""
+    np_f = circuit.node_phases
+    hp = circuit.halfpi_phases
+    pp = circuit.pi_products
+    qp = circuit.phase_pairs
+    pf = circuit.prefactor
+
+    def prep2(x):
+        return _pad_to(np.asarray(x, np.int32), G_pad, 1)
+
+    def prep3(x):
+        x = np.asarray(x, np.uint8)
+        x = _pad_to(x, G_pad, 1)
+        return _pad_to(x, P, 2)
+
+    def prep_counts(x):
+        return _pad_to(np.asarray(x, np.int32)[None, :], G_pad, 1)
+
+    blocks = dict(
+        np_phases=prep2(np_f.phases),
+        np_params=prep3(np_f.params),
+        np_counts=prep_counts(np_f.counts),
+        hp_coeffs=prep2(hp.coeffs),
+        hp_params=prep3(hp.params),
+        pp_psi_c=prep2(pp.psi_const),
+        pp_psi_p=prep3(pp.psi_params),
+        pp_phi_c=prep2(pp.phi_const),
+        pp_phi_p=prep3(pp.phi_params),
+        qp_alpha=prep2(qp.alpha),
+        qp_alpha_p=prep3(qp.alpha_params),
+        qp_beta=prep2(qp.beta),
+        qp_beta_p=prep3(qp.beta_params),
+        qp_counts=prep_counts(qp.counts),
+        pf_phase=_pad_to(
+            np.asarray(pf.phase_indices, np.int32)[None, :], G_pad, 1
+        ),
+        # Padded graphs get a zero float-factor: they contribute exact 0.
+        pf_ff=_pad_to(np.asarray(pf.floatfactor, np.int32).T, G_pad, 1),
+        pf_pow=_pad_to(np.asarray(pf.power2, np.int32)[None, :], G_pad, 1),
+    )
+    return blocks
+
+
+def _ensure_t(x2, x3, Gp, P):
+    """Families with T=0 still need rank-stable refs: pad T to 1."""
+    if x2.shape[0] == 0:
+        x2 = np.zeros((1,) + x2.shape[1:], x2.dtype)
+    if x3.shape[0] == 0:
+        x3 = np.zeros((1,) + x3.shape[1:], x3.dtype)
+    return x2, x3
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _combine_partials(out_c: Array, out_p: Array, n_valid_rows: int | None = None):
+    esa = ExactScalarArray.from_coeffs(
+        jnp.moveaxis(out_c, -1, 0), out_p
+    ).sum(axis=-1)
+    re, im = _coeffs_to_real_imag(esa.coeffs)
+    return jnp.sqrt(re * re + im * im) * jnp.exp2(esa.power.astype(jnp.float32))
+
+
+def evaluate_abs_fused(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
+    """|amplitude| per batch row via the fused Pallas kernel (exact path)."""
+    B, P_in = param_vals.shape
+    G = circuit.num_graphs
+    Gp = max(_GT, ((G + _GT - 1) // _GT) * _GT)
+    Bp = max(_BT, ((B + _BT - 1) // _BT) * _BT)
+    P = max(P_in, 8)
+
+    blocks = _family_blocks(circuit, Gp, P)
+    T1 = blocks["np_phases"].shape[0]
+    T2 = blocks["hp_coeffs"].shape[0]
+    T3 = blocks["pp_psi_c"].shape[0]
+    T4 = blocks["qp_alpha"].shape[0]
+    for k2, k3 in (
+        ("np_phases", "np_params"), ("hp_coeffs", "hp_params"),
+        ("pp_psi_c", "pp_psi_p"), ("pp_phi_c", "pp_phi_p"),
+        ("qp_alpha", "qp_alpha_p"), ("qp_beta", "qp_beta_p"),
+    ):
+        blocks[k2], blocks[k3] = _ensure_t(blocks[k2], blocks[k3], Gp, P)
+
+    x = _pad_to(_pad_to(param_vals.astype(jnp.uint8), P, 1), Bp, 0)
+
+    n_bt, n_gt = Bp // _BT, Gp // _GT
+    dims = (T1, T2, T3, T4, _GT)
+
+    def spec2(T):
+        return pl.BlockSpec((max(T, 1), _GT), lambda i, j: (0, j))
+
+    def spec3(T):
+        return pl.BlockSpec((max(T, 1), _GT, P), lambda i, j: (0, j, 0))
+
+    spec_c = pl.BlockSpec((1, _GT), lambda i, j: (0, j))
+
+    grid = (n_bt, n_gt)
+    out_c, out_p = pl.pallas_call(
+        functools.partial(_kernel, dims),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BT, P), lambda i, j: (i, 0)),
+            spec2(T1), spec3(T1), spec_c,
+            spec2(T2), spec3(T2),
+            spec2(T3), spec3(T3), spec2(T3), spec3(T3),
+            spec2(T4), spec3(T4), spec2(T4), spec3(T4), spec_c,
+            spec_c, pl.BlockSpec((4, _GT), lambda i, j: (0, j)), spec_c,
+        ],
+        out_specs=[
+            pl.BlockSpec((_BT, 1, 4), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((_BT, 1), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, n_gt, 4), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, n_gt), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(
+        x,
+        blocks["np_phases"], blocks["np_params"], blocks["np_counts"],
+        blocks["hp_coeffs"], blocks["hp_params"],
+        blocks["pp_psi_c"], blocks["pp_psi_p"],
+        blocks["pp_phi_c"], blocks["pp_phi_p"],
+        blocks["qp_alpha"], blocks["qp_alpha_p"],
+        blocks["qp_beta"], blocks["qp_beta_p"], blocks["qp_counts"],
+        blocks["pf_phase"], blocks["pf_ff"], blocks["pf_pow"],
+    )
+    result = _combine_partials(out_c, out_p)
+    return result[:B]
+
+
+_FORCE = os.environ.get("TSIM_TPU_FUSED", "").strip()
+
+
+def _use_fused() -> bool:
+    if _FORCE == "0":
+        return False
+    if _FORCE == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def evaluate_abs_auto(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
+    """Dispatch: fused Pallas kernel on TPU (exact path), XLA elsewhere."""
+    if (
+        not _use_fused()
+        or circuit.prefactor.has_approximate_floatfactors
+        or circuit.prefactor.phase_indices.shape[0] == 0
+    ):
+        return _evaluate_abs_xla(circuit, param_vals)
+    return _anchor(evaluate_abs_fused(circuit, param_vals), param_vals)

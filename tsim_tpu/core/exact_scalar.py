@@ -10,16 +10,16 @@ TPU layout note: coefficients are stored with the 4-component axis LEADING
 to the 128-lane tile by the TPU layout (T(8,128)), a 32x HBM blowup; with
 the component axis leading, the batch/graph axes occupy the tiled lanes.
 
-The reduction keeps coefficients small by dividing out common factors of 2
-into ``power`` — one reduction step per combine, plus a while-loop fixpoint
-after each scan (a sequential scan can lag canonical form by log2(N) steps).
+Reductions run as balanced trees (one reduce step per level keeps
+coefficients small by dividing common factors of 2 into ``power``): total
+HBM traffic is O(1) passes over the term array instead of one pass per
+term, and no scans appear (restricted TPU backends mishandle short scans).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-from jax import Array, lax
+from jax import Array
 
 import numpy as _np
 
@@ -28,9 +28,6 @@ from ..utils.pytree import pytree_dataclass
 # numpy scalar, NOT a device op: module-level eager complex math would
 # execute on import and poisons TPU backends without complex support.
 _E4 = _np.exp(1j * _np.pi / 4)
-
-_SCAN_UNROLL = 4
-
 
 def _mul_coeffs(d1: Array, d2: Array) -> Array:
     """Multiply coefficient arrays (4, ...) in Z[w] (w^4 = -1)."""
@@ -57,39 +54,46 @@ def _mul_with_power(x, y):
 
 
 def _add_with_power(x, y):
+    # Align to the smaller power. The shift is clamped: a term more than
+    # 2^30 below its partner cannot be represented in int32 (nor matter at
+    # float32 output precision); compile-time power balancing keeps real
+    # workloads far from the clamp.
     p1, c1 = x
     p2, c2 = y
-    s1 = jnp.left_shift(jnp.ones_like(p1), jnp.maximum(p1 - p2, 0))[None]
-    s2 = jnp.left_shift(jnp.ones_like(p2), jnp.maximum(p2 - p1, 0))[None]
+    s1 = jnp.left_shift(
+        jnp.ones_like(p1), jnp.clip(p1 - p2, 0, 30)
+    )[None]
+    s2 = jnp.left_shift(
+        jnp.ones_like(p2), jnp.clip(p2 - p1, 0, 30)
+    )[None]
     return _reduce_step(jnp.minimum(p1, p2), c1 * s1 + c2 * s2)
 
 
-def _reduce_along_scan(power, coeffs, op, value_axis):
-    """Sequential scan reduction keeping an O(1) carry, then a fixpoint.
+def _reduce_tree(power, coeffs, op, value_axis):
+    """Balanced-tree reduction along ``value_axis``.
+
+    A sequential fold makes N full passes over the (4, batch, graphs)
+    accumulator — the dominant HBM traffic of the sampler. Halving pairs
+    instead touches each element O(1) times total (2x one pass) and keeps
+    the TPU vector units saturated at every level.
 
     ``value_axis`` indexes the value shape (power's axes); the corresponding
     coeffs axis is ``value_axis + 1`` (leading component axis).
     """
-    power_t = jnp.moveaxis(power, value_axis, 0)
-    coeffs_t = jnp.moveaxis(coeffs, value_axis + 1, 0)
-    init = (power_t[0], coeffs_t[0])
-    rest = (power_t[1:], coeffs_t[1:])
-
-    def step(carry, x):
-        return op(carry, x), None
-
-    (fp, fc), _ = lax.scan(step, init, rest, unroll=_SCAN_UNROLL)
-
-    def cond(state):
-        return state[2]
-
-    def body(state):
-        p, c, _ = state
-        np_, nc = _reduce_step(p, c)
-        return np_, nc, jnp.any(np_ != p)
-
-    fp, fc, _ = lax.while_loop(cond, body, (fp, fc, jnp.bool_(True)))
-    return fp, fc
+    power = jnp.moveaxis(power, value_axis, 0)
+    coeffs = jnp.moveaxis(coeffs, value_axis + 1, 1)
+    while power.shape[0] > 1:
+        n = power.shape[0]
+        half = n // 2
+        p, c = op(
+            (power[:half], coeffs[:, :half]),
+            (power[half : 2 * half], coeffs[:, half : 2 * half]),
+        )
+        if n % 2:
+            p = jnp.concatenate([p, power[-1:]], axis=0)
+            c = jnp.concatenate([c, coeffs[:, -1:]], axis=1)
+        power, coeffs = p, c
+    return power[0], coeffs[:, 0]
 
 
 @pytree_dataclass
@@ -131,23 +135,12 @@ class ExactScalarArray:
         if axis < 0:
             axis += self.power.ndim
         n = self.power.shape[axis]
-        if n <= 16:
-            # Static fold (also avoids zero/short scans, which some TPU
-            # backends cannot execute).
-            def take(i):
-                pw = lax.index_in_dim(self.power, i, axis, keepdims=False)
-                cf = lax.index_in_dim(self.coeffs, i, axis + 1, keepdims=False)
-                return pw, cf
-            if n == 0:
-                shape = self.power.shape[:axis] + self.power.shape[axis + 1 :]
-                return ExactScalarArray.from_coeffs(
-                    jnp.zeros((4,) + shape, dtype=self.coeffs.dtype)
-                )
-            acc = take(0)
-            for i in range(1, n):
-                acc = _add_with_power(acc, take(i))
-            return ExactScalarArray(coeffs=acc[1], power=acc[0])
-        p, c = _reduce_along_scan(self.power, self.coeffs, _add_with_power, axis)
+        if n == 0:
+            shape = self.power.shape[:axis] + self.power.shape[axis + 1 :]
+            return ExactScalarArray.from_coeffs(
+                jnp.zeros((4,) + shape, dtype=self.coeffs.dtype)
+            )
+        p, c = _reduce_tree(self.power, self.coeffs, _add_with_power, axis)
         return ExactScalarArray(coeffs=c, power=p)
 
     def prod(self, axis: int = -1) -> "ExactScalarArray":
@@ -158,18 +151,7 @@ class ExactScalarArray:
             shape = self.power.shape[:axis] + self.power.shape[axis + 1 :]
             c = jnp.zeros((4,) + shape, dtype=self.coeffs.dtype).at[0].set(1)
             return ExactScalarArray.from_coeffs(c)
-        if n <= 16:
-            # Static unrolled fold: cheaper than a scan for tiny term axes
-            # (and avoids scan buffer padding on TPU).
-            def take(i):
-                pw = lax.index_in_dim(self.power, i, axis, keepdims=False)
-                cf = lax.index_in_dim(self.coeffs, i, axis + 1, keepdims=False)
-                return pw, cf
-            acc = take(0)
-            for i in range(1, n):
-                acc = _mul_with_power(acc, take(i))
-            return ExactScalarArray(coeffs=acc[1], power=acc[0])
-        p, c = _reduce_along_scan(self.power, self.coeffs, _mul_with_power, axis)
+        p, c = _reduce_tree(self.power, self.coeffs, _mul_with_power, axis)
         return ExactScalarArray(coeffs=c, power=p)
 
     def to_real_imag(self) -> tuple[Array, Array]:
