@@ -82,7 +82,8 @@ def _k_omega(k):
 
 def _k_parities(params_ref, x_f32, T, Gt):
     """(Bt, T, Gt) int32 parities of params @ x^T mod 2 via one MXU dot."""
-    w = params_ref[...].astype(jnp.float32).reshape(T * Gt, -1)
+    # uint8 -> int32 -> float32: Mosaic lacks a direct uint8->f32 cast.
+    w = params_ref[...].astype(jnp.int32).astype(jnp.float32).reshape(T * Gt, -1)
     prod = lax.dot_general(
         x_f32, w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -90,7 +91,7 @@ def _k_parities(params_ref, x_f32, T, Gt):
     return prod.astype(jnp.int32).reshape(x_f32.shape[0], T, Gt) & 1
 
 
-def _kernel(
+def _product_body(
     dims,
     x_ref,            # (Bt, P) uint8 param values
     np_phases_ref,    # (T1, Gt) int32
@@ -110,11 +111,9 @@ def _kernel(
     pf_phase_ref,     # (1, Gt) int32
     pf_ff_ref,        # (4, Gt) int32
     pf_pow_ref,       # (1, Gt) int32
-    out_c_ref,        # (Bt, 4) int32
-    out_p_ref,        # (Bt, 1) int32
 ):
     T1, T2, T3, T4, Gt = dims
-    x = x_ref[...].astype(jnp.float32)
+    x = x_ref[...].astype(jnp.int32).astype(jnp.float32)
     Bt = x.shape[0]
 
     acc = (
@@ -195,9 +194,14 @@ def _kernel(
     ff = tuple(pf_ff_ref[j][None, :] * jnp.ones((Bt, 1), jnp.int32) for j in range(4))
     acc, accp = _k_mul_acc(acc, accp, ff, 0)
     accp = accp + pf_pow_ref[0][None, :]
+    return acc, accp
 
-    # ---- exact tree sum across the graph tile
-    n = Gt
+
+def _kernel_exact(dims, *refs):
+    """Exact finisher: Z[w] tree sum across the graph tile."""
+    out_c_ref, out_p_ref = refs[-2:]
+    acc, accp = _product_body(dims, *refs[:-2])
+    n = dims[-1]
     while n > 1:
         h = n // 2
         a = (tuple(ci[:, :h] for ci in acc), accp[:, :h])
@@ -217,8 +221,31 @@ def _kernel(
         acc, accp = c, p
         n = (n + 1) // 2 if n % 2 else h
 
-    out_c_ref[...] = jnp.concatenate([acc[j] for j in range(4)], axis=1)
-    out_p_ref[...] = accp
+    out_c_ref[...] = jnp.concatenate([acc[j] for j in range(4)], axis=1)[None]
+    out_p_ref[...] = accp[None]
+
+
+_INV_SQRT2 = 0.7071067811865476
+
+
+def _kernel_approx(dims, *refs):
+    """Approximate finisher: weighted complex float32 sum over the tile.
+
+    Matches evaluate.evaluate_abs's approximate-floatfactor branch: each
+    graph's exact product becomes (re, im) * 2^power, is multiplied by the
+    per-graph approximate complex factor, and graphs sum in float32.
+    """
+    approx_ref, out_ref = refs[-2:]
+    acc, accp = _product_body(dims, *refs[:-2])
+    c = tuple(ci.astype(jnp.float32) for ci in acc)
+    re = c[0] + (c[1] - c[3]) * _INV_SQRT2
+    im = c[2] + (c[1] + c[3]) * _INV_SQRT2
+    scale = jnp.exp2(accp.astype(jnp.float32))
+    fre = approx_ref[0][None, :] * scale
+    fim = approx_ref[1][None, :] * scale
+    out_re = jnp.sum(re * fre - im * fim, axis=1)
+    out_im = jnp.sum(re * fim + im * fre, axis=1)
+    out_ref[...] = jnp.stack([out_re, out_im], axis=1)[None]
 
 
 def _family_blocks(circuit: CompiledScalarGraphs, G_pad: int, P: int):
@@ -261,6 +288,9 @@ def _family_blocks(circuit: CompiledScalarGraphs, G_pad: int, P: int):
         # Padded graphs get a zero float-factor: they contribute exact 0.
         pf_ff=_pad_to(np.asarray(pf.floatfactor, np.int32).T, G_pad, 1),
         pf_pow=_pad_to(np.asarray(pf.power2, np.int32)[None, :], G_pad, 1),
+        pf_approx=_pad_to(
+            np.asarray(pf.approximate_floatfactors, np.float32).T, G_pad, 1
+        ),
     )
     return blocks
 
@@ -274,11 +304,11 @@ def _ensure_t(x2, x3, Gp, P):
     return x2, x3
 
 
-@functools.partial(jax.jit, static_argnums=())
-def _combine_partials(out_c: Array, out_p: Array, n_valid_rows: int | None = None):
-    esa = ExactScalarArray.from_coeffs(
-        jnp.moveaxis(out_c, -1, 0), out_p
-    ).sum(axis=-1)
+def _combine_partials(out_c: Array, out_p: Array) -> Array:
+    """Exact sum of per-graph-tile partials: (n_gt, B, 4) + (n_gt, B, 1)."""
+    coeffs = jnp.transpose(out_c, (2, 1, 0))  # (4, B, n_gt)
+    power = out_p[..., 0].T  # (B, n_gt)
+    esa = ExactScalarArray.from_coeffs(coeffs, power).sum(axis=-1)
     re, im = _coeffs_to_real_imag(esa.coeffs)
     return jnp.sqrt(re * re + im * im) * jnp.exp2(esa.power.astype(jnp.float32))
 
@@ -317,27 +347,16 @@ def evaluate_abs_fused(circuit: CompiledScalarGraphs, param_vals: Array) -> Arra
     spec_c = pl.BlockSpec((1, _GT), lambda i, j: (0, j))
 
     grid = (n_bt, n_gt)
-    out_c, out_p = pl.pallas_call(
-        functools.partial(_kernel, dims),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_BT, P), lambda i, j: (i, 0)),
-            spec2(T1), spec3(T1), spec_c,
-            spec2(T2), spec3(T2),
-            spec2(T3), spec3(T3), spec2(T3), spec3(T3),
-            spec2(T4), spec3(T4), spec2(T4), spec3(T4), spec_c,
-            spec_c, pl.BlockSpec((4, _GT), lambda i, j: (0, j)), spec_c,
-        ],
-        out_specs=[
-            pl.BlockSpec((_BT, 1, 4), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((_BT, 1), lambda i, j: (i, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp, n_gt, 4), jnp.int32),
-            jax.ShapeDtypeStruct((Bp, n_gt), jnp.int32),
-        ],
-        interpret=jax.default_backend() != "tpu",
-    )(
+    approx = bool(circuit.prefactor.has_approximate_floatfactors)
+    in_specs = [
+        pl.BlockSpec((_BT, P), lambda i, j: (i, 0)),
+        spec2(T1), spec3(T1), spec_c,
+        spec2(T2), spec3(T2),
+        spec2(T3), spec3(T3), spec2(T3), spec3(T3),
+        spec2(T4), spec3(T4), spec2(T4), spec3(T4), spec_c,
+        spec_c, pl.BlockSpec((4, _GT), lambda i, j: (0, j)), spec_c,
+    ]
+    inputs = [
         x,
         blocks["np_phases"], blocks["np_params"], blocks["np_counts"],
         blocks["hp_coeffs"], blocks["hp_params"],
@@ -346,7 +365,37 @@ def evaluate_abs_fused(circuit: CompiledScalarGraphs, param_vals: Array) -> Arra
         blocks["qp_alpha"], blocks["qp_alpha_p"],
         blocks["qp_beta"], blocks["qp_beta_p"], blocks["qp_counts"],
         blocks["pf_phase"], blocks["pf_ff"], blocks["pf_pow"],
-    )
+    ]
+    interpret = jax.default_backend() != "tpu"
+    # Output blocks lead with the graph-tile axis: Mosaic requires the last
+    # two block dims to divide (8, 128) or equal the array dims.
+    if approx:
+        out = pl.pallas_call(
+            functools.partial(_kernel_approx, dims),
+            grid=grid,
+            in_specs=in_specs
+            + [pl.BlockSpec((2, _GT), lambda i, j: (0, j))],
+            out_specs=pl.BlockSpec((1, _BT, 2), lambda i, j: (j, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_gt, Bp, 2), jnp.float32),
+            interpret=interpret,
+        )(*inputs, blocks["pf_approx"])
+        total = jnp.sum(out, axis=0)  # (Bp, 2) partial complex sums
+        result = jnp.sqrt(total[:, 0] ** 2 + total[:, 1] ** 2)
+        return result[:B]
+    out_c, out_p = pl.pallas_call(
+        functools.partial(_kernel_exact, dims),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, _BT, 4), lambda i, j: (j, i, 0)),
+            pl.BlockSpec((1, _BT, 1), lambda i, j: (j, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_gt, Bp, 4), jnp.int32),
+            jax.ShapeDtypeStruct((n_gt, Bp, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*inputs)
     result = _combine_partials(out_c, out_p)
     return result[:B]
 
@@ -355,19 +404,15 @@ _FORCE = os.environ.get("TSIM_TPU_FUSED", "").strip()
 
 
 def _use_fused() -> bool:
-    if _FORCE == "0":
-        return False
-    if _FORCE == "1":
-        return True
-    return jax.default_backend() == "tpu"
+    # Opt-in: with tree reductions the XLA path outruns this kernel on the
+    # benchmark shapes (tiny T, G <= 1024 — measured 0.1ms vs 10.5ms per
+    # eval at B=16384 on v5e); the kernel is kept for very large term/param
+    # counts where HBM traffic between fused ops dominates again.
+    return _FORCE == "1"
 
 
 def evaluate_abs_auto(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
-    """Dispatch: fused Pallas kernel on TPU (exact path), XLA elsewhere."""
-    if (
-        not _use_fused()
-        or circuit.prefactor.has_approximate_floatfactors
-        or circuit.prefactor.phase_indices.shape[0] == 0
-    ):
+    """Dispatch: fused Pallas kernel on TPU, XLA path elsewhere."""
+    if not _use_fused() or circuit.prefactor.phase_indices.shape[0] == 0:
         return _evaluate_abs_xla(circuit, param_vals)
     return _anchor(evaluate_abs_fused(circuit, param_vals), param_vals)
