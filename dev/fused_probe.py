@@ -24,17 +24,21 @@ B = 16384
 vals = np.random.default_rng(0).integers(0, 2, size=(B, csg.n_params)).astype(np.uint8)
 vals_d = jnp.asarray(vals)
 
-f_xla = jax.jit(lambda v: evaluate_abs(csg, v))
-f_pal = jax.jit(lambda v: evaluate_abs_fused(csg, v))
+f_xla = jax.jit(lambda v: jnp.sum(evaluate_abs(csg, v)))
+f_pal = jax.jit(lambda v: jnp.sum(evaluate_abs_fused(csg, v)))
+N = 8
+f_xla_n = jax.jit(lambda v: sum(jnp.sum(evaluate_abs(csg, v + i)) for i in range(N)))
+f_pal_n = jax.jit(lambda v: sum(jnp.sum(evaluate_abs_fused(csg, v + i)) for i in range(N)))
 
-for name, f in (("xla-tree", f_xla), ("pallas", f_pal)):
+for name, f1, fn in (("xla-tree", f_xla, f_xla_n), ("pallas", f_pal, f_pal_n)):
     t0 = time.perf_counter()
-    out = f(vals_d); out.block_until_ready()
-    log(f"{name} warmup {time.perf_counter()-t0:.0f}s")
+    s1 = float(np.asarray(jax.device_get(f1(vals_d))))
+    log(f"{name} warmup {time.perf_counter()-t0:.0f}s (sum={s1:.3f})")
     t0 = time.perf_counter()
-    for _ in range(5):
-        out = f(vals_d)
-    out.block_until_ready()
-    dt = (time.perf_counter()-t0)/5
-    log(f"{name}: {dt*1e3:.1f} ms/eval")
-    log(f"{name} sample: {np.asarray(out[:3])}")
+    np.asarray(jax.device_get(f1(vals_d)))
+    t1 = time.perf_counter() - t0
+    np.asarray(jax.device_get(fn(vals_d)))  # warm the N-fold jit
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(fn(vals_d)))
+    tn = time.perf_counter() - t0
+    log(f"{name}: 1-eval {t1*1e3:.0f}ms, {N}-eval {tn*1e3:.0f}ms -> {(tn-t1)/(N-1)*1e3:.1f} ms/eval")

@@ -404,11 +404,14 @@ _FORCE = os.environ.get("TSIM_TPU_FUSED", "").strip()
 
 
 def _use_fused() -> bool:
-    # Opt-in: with tree reductions the XLA path outruns this kernel on the
-    # benchmark shapes (tiny T, G <= 1024 — measured 0.1ms vs 10.5ms per
-    # eval at B=16384 on v5e); the kernel is kept for very large term/param
-    # counts where HBM traffic between fused ops dominates again.
-    return _FORCE == "1"
+    # Default on TPU: measured 4.5ms vs 54ms per eval against the XLA tree
+    # path on the d3 distillation's largest circuit (G=1024, B=16384, v5e).
+    # TSIM_TPU_FUSED=0 forces the XLA path, =1 forces the kernel anywhere.
+    if _FORCE == "0":
+        return False
+    if _FORCE == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def evaluate_abs_auto(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .compile.evaluate import evaluate_abs
+from .compile.pallas_evaluate import evaluate_abs_auto as evaluate_abs
 from .compile.pipeline import compile_program
 from .core.graph_prep import prepare_graph
 from .core.types import CompiledComponent, CompiledProgram
