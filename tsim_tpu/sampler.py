@@ -74,13 +74,11 @@ def _sample_component(
     return m_accumulated, key, max_norm_deviation
 
 
-_sample_component_jit = jax.jit(_sample_component)
-
-
 def sample_component(component, f_params, key):
-    if len(component.output_indices) <= 1:
-        return _sample_component(component, f_params, key)
-    return _sample_component_jit(component, f_params, key)
+    # Always trace inline: every caller sits inside a program-level jit that
+    # closes over the compiled tensors (keeping them concrete numpy, which
+    # the fused Pallas path requires for its block layout).
+    return _sample_component(component, f_params, key)
 
 
 def sample_program(
