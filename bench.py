@@ -33,10 +33,12 @@ def main() -> None:
     sampler = circuit.compile_detector_sampler(seed=0)
     _log(f"host compile {time.perf_counter() - t0:.0f}s")
 
-    batch = 16384
-    shots = batch * 64  # ~1M shots, all inside ONE device dispatch
-    # Warm up: first call compiles the full on-device run (noise sampling +
-    # 64-batch lax.map ladder) — the timed call below reuses the jit.
+    # The fused Pallas evaluate streams (batch, graph) tiles, so a single
+    # dispatch can span half a million shots; ~1M shots = 2 dispatches.
+    batch = 1 << 19
+    shots = batch * 2
+    # Warm up: first call compiles the on-device run (noise sampling +
+    # sampling ladder); the timed call below reuses the jit.
     t0 = time.perf_counter()
     sampler.sample(shots, batch_size=batch)
     _log(f"device warmup {time.perf_counter() - t0:.0f}s")

@@ -415,7 +415,12 @@ def _use_fused() -> bool:
 
 
 def evaluate_abs_auto(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
-    """Dispatch: fused Pallas kernel on TPU, XLA path elsewhere."""
-    if not _use_fused() or circuit.prefactor.phase_indices.shape[0] == 0:
+    """Dispatch: fused Pallas kernel on TPU, XLA path elsewhere.
+
+    Graph counts below one tile stay on the XLA path: they are cheap there,
+    and degenerate near-empty kernels trip Mosaic compiler crashes on some
+    TPU toolchains (observed on the G=1 norm circuit).
+    """
+    if not _use_fused() or circuit.num_graphs < 64:
         return _evaluate_abs_xla(circuit, param_vals)
     return _anchor(evaluate_abs_fused(circuit, param_vals), param_vals)

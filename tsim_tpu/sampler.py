@@ -135,22 +135,19 @@ def _device_run_fn(
     single dispatch runs ``lax.map`` over per-batch RNG keys and returns all
     samples in one transfer.
     """
-    cache_key = (id(program), id(device_channels), num_batches, batch_size)
+    cache_key = (id(program), id(device_channels), batch_size)
     fn = _DEVICE_RUNNERS.get(cache_key)
     if fn is None:
 
         def one(kpair):
+            # No lax.map over batches: the Pallas evaluate kernel cannot
+            # live inside a compiled loop on some TPU toolchains, and with
+            # tile-streaming kernels a single batch can span ~1M shots
+            # anyway. Multi-batch runs loop at the Python level.
             f_params = device_channels.sample(kpair[0], batch_size)
             return sample_program_with_deviation(program, f_params, kpair[1])
 
-        def run(kpairs):
-            if num_batches == 1:
-                out, dev = one(kpairs[0])
-                return out[None], dev
-            outs, devs = jax.lax.map(one, kpairs)
-            return outs, jnp.max(devs, axis=0)
-
-        fn = jax.jit(run)
+        fn = jax.jit(one)
         _DEVICE_RUNNERS[cache_key] = fn
     return fn
 
@@ -354,23 +351,30 @@ class _CompiledSamplerBase:
         if compute_reference:
             reference = self._compute_reference_sample()
 
-        # Fully on-device run: noise sampling + all batches inside one jit.
-        # One eager split, one dispatch, one d2h — per-batch tunnel round
-        # trips are the dominant cost on remote TPU backends.
+        # Fully on-device batches: noise sampling + sampling ladder in one
+        # jit per batch, dispatched asynchronously from a Python loop; one
+        # final d2h per batch (device side is uint8 — TPU backends may not
+        # support bool transfers).
         keys = jax.random.split(self._key, 2 * num_batches + 1)
         self._key = keys[0]
         kpairs = keys[1:].reshape(num_batches, 2)
         runner = _device_run_fn(
             self._program, self._device_channels, num_batches, batch_size
         )
-        outs, dev = runner(kpairs)
-        # Device side is uint8 (TPU backends may not support bool transfers).
+        outs = []
+        devs = []
+        for bi in range(num_batches):
+            out_b, dev_b = runner(kpairs[bi])
+            outs.append(out_b)
+            devs.append(dev_b)
+        host = [np.asarray(jax.device_get(o)) for o in outs]
         result = (
-            np.asarray(jax.device_get(outs))
-            .reshape(num_batches * batch_size, -1)
-            .view(np.bool_)[:shots]
+            host[0] if len(host) == 1 else np.concatenate(host, axis=0)
+        ).view(np.bool_)[:shots]
+        # Norm monitor: fold on host (eager device ops cost a round trip).
+        _check_norm_deviation(
+            np.max([np.asarray(jax.device_get(d)) for d in devs], axis=0)
         )
-        _check_norm_deviation(dev)
 
         if compute_reference:
             assert reference is not None
