@@ -145,7 +145,17 @@ def _device_run_fn(
             # tile-streaming kernels a single batch can span ~1M shots
             # anyway. Multi-batch runs loop at the Python level.
             f_params = device_channels.sample(kpair[0], batch_size)
-            return sample_program_with_deviation(program, f_params, kpair[1])
+            out, dev = sample_program_with_deviation(program, f_params, kpair[1])
+            # Bit-pack the sample bits on device (8x smaller d2h; remote
+            # TPU tunnels move tens of MB/s). Gather-free: dot with powers
+            # of two over output groups of 8.
+            n = out.shape[1]
+            n8 = (n + 7) // 8
+            if n8 * 8 != n:
+                out = jnp.pad(out, ((0, 0), (0, n8 * 8 - n)))
+            powers = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.float32)
+            packed = out.reshape(batch_size, n8, 8).astype(jnp.float32) @ powers
+            return packed.astype(jnp.uint8), dev
 
         fn = jax.jit(one)
         _DEVICE_RUNNERS[cache_key] = fn
@@ -368,9 +378,10 @@ class _CompiledSamplerBase:
             outs.append(out_b)
             devs.append(dev_b)
         host = [np.asarray(jax.device_get(o)) for o in outs]
-        result = (
-            host[0] if len(host) == 1 else np.concatenate(host, axis=0)
-        ).view(np.bool_)[:shots]
+        packed = host[0] if len(host) == 1 else np.concatenate(host, axis=0)
+        result = np.unpackbits(packed, axis=1, bitorder="little")[
+            :shots, : self._program.num_outputs
+        ].view(np.bool_)
         # Norm monitor: fold on host (eager device ops cost a round trip).
         _check_norm_deviation(
             np.max([np.asarray(jax.device_get(d)) for d in devs], axis=0)
