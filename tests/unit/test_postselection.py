@@ -1,0 +1,236 @@
+"""Postselection semantics matrix for CompiledDetectorSampler.
+
+Mirrors the behavioral surface the reference pins in its postselection
+suite (SURVEY.md section 4): validation, default-equivalence, discarded-row
+semantics, the direct-detector prefilter (discarded shots never reach the
+quantum evaluator), reference-XOR ordering, output layouts, and RNG
+discipline.
+"""
+
+import numpy as np
+import pytest
+
+import tsim_tpu
+import tsim_tpu.sampler as sampler_mod
+
+# One direct detector (rate 0.3), one quantum (T-gate) detector + observable.
+MIXED = """
+X_ERROR(0.3) 0
+M 0
+DETECTOR rec[-1]
+H 1
+T 1
+X_ERROR(0.1) 1
+H 1
+M 1
+DETECTOR rec[-1]
+OBSERVABLE_INCLUDE(0) rec[-1]
+"""
+
+DIRECT_ONLY = """
+X_ERROR(0.3) 0
+X_ERROR(0.2) 1
+M 0 1
+DETECTOR rec[-2]
+DETECTOR rec[-1]
+OBSERVABLE_INCLUDE(0) rec[-1]
+"""
+
+
+def _sampler(text=MIXED, seed=0):
+    return tsim_tpu.Circuit(text).compile_detector_sampler(seed=seed)
+
+
+def _mask(*idx, n=2):
+    m = np.zeros(n, dtype=bool)
+    for i in idx:
+        m[i] = True
+    return m
+
+
+# ------------------------------------------------------------- validation
+def test_mask_wrong_length_raises():
+    with pytest.raises(ValueError, match="postselection_mask"):
+        _sampler().sample(10, postselection_mask=np.zeros(3, bool))
+
+
+def test_mask_wrong_shape_raises():
+    with pytest.raises(ValueError, match="postselection_mask"):
+        _sampler().sample(10, postselection_mask=np.zeros((2, 1), bool))
+
+
+def test_negative_shots_raises():
+    with pytest.raises(ValueError, match="shots"):
+        _sampler().sample(-1, postselection_mask=_mask(0))
+
+
+def test_invalid_batch_size_raises():
+    with pytest.raises(ValueError, match="batch_size"):
+        _sampler().sample(10, batch_size=0, postselection_mask=_mask(0))
+
+
+# --------------------------------------------------------- defaults/shape
+def test_none_mask_matches_default():
+    a = _sampler(seed=3).sample(500, batch_size=500)
+    b = _sampler(seed=3).sample(500, batch_size=500, postselection_mask=None)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_all_false_mask_matches_default():
+    a = _sampler(seed=3).sample(500, batch_size=500)
+    b = _sampler(seed=3).sample(
+        500, batch_size=500, postselection_mask=_mask()
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_return_shape_preserved():
+    det = _sampler().sample(321, batch_size=128, postselection_mask=_mask(0))
+    assert det.shape == (321, 2)
+
+
+def test_zero_shots():
+    det = _sampler().sample(0, postselection_mask=_mask(0))
+    assert det.shape == (0, 2)
+
+
+# ---------------------------------------------------- discarded-row rules
+def test_discarded_rows_component_cols_false():
+    s = _sampler(seed=5)
+    det, obs = s.sample(
+        4000, batch_size=512, postselection_mask=_mask(0),
+        separate_observables=True,
+    )
+    discarded = det[:, 0]
+    # Quantum columns of discarded shots are never computed -> False.
+    assert not det[discarded, 1].any()
+    assert not obs[discarded, 0].any()
+    # Survivors carry live T-detector statistics (~sin^2(pi/8) + error mix).
+    survivors = ~discarded
+    assert 0.05 < det[survivors, 1].mean() < 0.5
+    assert abs(discarded.mean() - 0.3) < 0.04
+
+
+def test_direct_cols_always_populated():
+    det = _sampler(seed=6).sample(
+        4000, batch_size=512, postselection_mask=_mask(0)
+    )
+    assert abs(det[:, 0].mean() - 0.3) < 0.04
+
+
+def test_quantum_evaluator_skipped_for_direct_discards(monkeypatch):
+    s = _sampler(seed=7)
+    batches = []
+    orig = sampler_mod._program_runner
+
+    def spy(program):
+        fn = orig(program)
+
+        def wrapped(f_params, key):
+            batches.append(f_params.shape[0])
+            return fn(f_params, key)
+
+        return wrapped
+
+    monkeypatch.setattr(sampler_mod, "_program_runner", spy)
+    shots = 2000
+    det = s.sample(shots, batch_size=500, postselection_mask=_mask(0))
+    # Roughly 30% of shots discard before ever reaching the evaluator, and
+    # every dispatched batch keeps the fixed jit shape.
+    assert sum(batches) < shots
+    assert set(batches) == {500}
+    assert det.shape == (shots, 2)
+
+
+def test_non_direct_mask_entry_is_ignored_for_prefilter():
+    # Masking only the quantum detector cannot prefilter anything.
+    a = _sampler(seed=8).sample(500, batch_size=500)
+    b = _sampler(seed=8).sample(
+        500, batch_size=500, postselection_mask=_mask(1)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------- fully direct path
+def test_fully_direct_no_quantum(monkeypatch):
+    def boom(program):
+        raise AssertionError("quantum evaluator must not run")
+
+    monkeypatch.setattr(sampler_mod, "_program_runner", boom)
+    s = _sampler(DIRECT_ONLY, seed=9)
+    det = s.sample(3000, batch_size=512, postselection_mask=_mask(0))
+    assert abs(det[:, 0].mean() - 0.3) < 0.05
+    assert abs(det[:, 1].mean() - 0.2) < 0.05
+
+
+def test_fully_direct_matches_default():
+    a = _sampler(DIRECT_ONLY, seed=10).sample(800, batch_size=800)
+    b = _sampler(DIRECT_ONLY, seed=10).sample(
+        800, batch_size=800, postselection_mask=_mask(0, 1)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------ reference XOR rules
+def test_detector_reference_with_postselection():
+    s = _sampler(seed=11)
+    det = s.sample(
+        2000, batch_size=512, postselection_mask=_mask(0),
+        use_detector_reference_sample=True,
+    )
+    # The direct detector's reference value is 0 here, so rates match.
+    assert abs(det[:, 0].mean() - 0.3) < 0.05
+
+
+def test_observable_reference_only_on_survivors():
+    s = _sampler(seed=12)
+    det, obs = s.sample(
+        3000, batch_size=512, postselection_mask=_mask(0),
+        separate_observables=True, use_observable_reference_sample=True,
+    )
+    discarded = det[:, 0]
+    # Discarded rows never get the observable reference XORed in.
+    assert not obs[discarded, 0].any()
+
+
+def test_reference_does_not_advance_channel_rng():
+    a = _sampler(seed=13).sample(400, batch_size=400,
+                                 postselection_mask=_mask(0))
+    b = _sampler(seed=13).sample(
+        400, batch_size=400, postselection_mask=_mask(0),
+        use_detector_reference_sample=False,
+        use_observable_reference_sample=False,
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------------ output layout
+def test_output_layout_append_observables():
+    out = _sampler(seed=14).sample(
+        200, batch_size=200, postselection_mask=_mask(0),
+        append_observables=True,
+    )
+    assert out.shape == (200, 3)
+
+
+def test_output_layout_prepend_observables():
+    out = _sampler(seed=14).sample(
+        200, batch_size=200, postselection_mask=_mask(0),
+        prepend_observables=True,
+    )
+    assert out.shape == (200, 3)
+
+
+def test_output_layout_separate_observables():
+    det, obs = _sampler(seed=14).sample(
+        200, batch_size=200, postselection_mask=_mask(0),
+        separate_observables=True,
+    )
+    assert det.shape == (200, 2) and obs.shape == (200, 1)
+
+
+def test_output_layout_bit_packed():
+    det = _sampler(seed=14).sample(
+        200, batch_size=200, postselection_mask=_mask(0), bit_packed=True,
+    )
+    assert det.shape == (200, 1) and det.dtype == np.uint8
