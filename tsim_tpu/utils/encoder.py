@@ -61,7 +61,33 @@ def _transform_circuit(
                         )
                 mod.append(instr.name, targets, instr.gate_args_copy(), tag=instr.tag)
             continue
-        new_ts = broadcast_targets(instr.target_groups(), stride=stride, offsets=offsets)
+        groups = instr.target_groups()
+        if any(t.is_pauli_target for g in groups for t in g):
+            # Pauli-product instructions (MPP/SPP/TPP): one product per
+            # offset, preserving pauli types and combiner structure.
+            targets: list = []
+            for g in groups:
+                for off in offsets:
+                    prod: list = []
+                    for t in g:
+                        if prod:
+                            prod.append(stim_core.target_combiner())
+                        maker = {
+                            "X": stim_core.target_x,
+                            "Y": stim_core.target_y,
+                            "Z": stim_core.target_z,
+                        }[t.pauli_type]
+                        prod.append(
+                            maker(
+                                t.value * stride + off,
+                                invert=t.is_inverted_result_target,
+                            )
+                        )
+                    targets.extend(prod)
+            mod.append(instr.name, targets, instr.gate_args_copy() or None,
+                       tag=instr.tag)
+            continue
+        new_ts = broadcast_targets(groups, stride=stride, offsets=offsets)
         mod.append(instr.name, new_ts, instr.gate_args_copy() or None, tag=instr.tag)
     return mod
 
