@@ -207,7 +207,42 @@ def _available_host_memory() -> int:
 
 
 class _CompiledSamplerBase:
-    """Shared compile-and-sample machinery."""
+    """Shared compile-and-sample machinery.
+
+    Compiled samplers are checkpointable: :meth:`save` writes every compiled
+    tensor (all numpy) plus RNG state to disk; :meth:`load` restores a
+    sampler that continues the exact same sample stream without recompiling.
+    """
+
+    # ------------------------------------------------------- checkpointing
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        # jax PRNG keys don't pickle; store raw key data.
+        state["_key"] = np.asarray(jax.random.key_data(self._key))
+        return state
+
+    def __setstate__(self, state):
+        key_data = state.pop("_key")
+        self.__dict__.update(state)
+        self._key = jax.random.wrap_key_data(jnp.asarray(key_data))
+
+    def save(self, path) -> None:
+        """Checkpoint the compiled sampler (tensors + RNG state)."""
+        import pickle
+
+        with open(path, "wb") as fh:
+            pickle.dump(self, fh)
+
+    @classmethod
+    def load(cls, path):
+        """Restore a compiled sampler saved with :meth:`save`."""
+        import pickle
+
+        with open(path, "rb") as fh:
+            obj = pickle.load(fh)
+        if not isinstance(obj, cls):
+            raise TypeError(f"checkpoint holds {type(obj).__name__}, not {cls.__name__}")
+        return obj
 
     def __init__(
         self,
