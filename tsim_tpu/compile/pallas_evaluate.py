@@ -318,8 +318,17 @@ def evaluate_abs_fused(circuit: CompiledScalarGraphs, param_vals: Array) -> Arra
     B, P_in = param_vals.shape
     G = circuit.num_graphs
     # Adaptive graph tile: one tile when G fits (no cross-tile partials),
-    # capped so VMEM holds the working set.
-    _GT = min(_GT_MAX, ((G + 127) // 128) * 128)
+    # capped so VMEM holds the working set. The per-tile working set is
+    # dominated by the (Bt, T, Gt) parity tensors: roughly
+    # (T1 + T2 + 2*T3 + 2*T4) * Bt * Gt * 8 bytes (f32 GEMM result + int32
+    # view per parity matmul); cap it at ~12 MB of the 16 MB scoped VMEM.
+    t1 = max(circuit.node_phases.phases.shape[0], 1)
+    t2 = max(circuit.halfpi_phases.coeffs.shape[0], 1)
+    t3 = max(circuit.pi_products.psi_const.shape[0], 1)
+    t4 = max(circuit.phase_pairs.alpha.shape[0], 1)
+    t_par = t1 + t2 + 2 * t3 + 2 * t4
+    gt_fit = max(128, (12 * 2**20) // (t_par * _BT * 8) // 128 * 128)
+    _GT = min(_GT_MAX, gt_fit, ((G + 127) // 128) * 128)
     Gp = ((G + _GT - 1) // _GT) * _GT
     Bp = max(_BT, ((B + _BT - 1) // _BT) * _BT)
     P = max(P_in, 8)

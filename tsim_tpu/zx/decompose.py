@@ -20,7 +20,7 @@ import cmath
 import math
 from fractions import Fraction
 
-from .graph import HADAMARD, SIMPLE, X, Z, ZXGraph
+from .graph import BOUNDARY, HADAMARD, SIMPLE, X, Z, ZXGraph
 from .scalar import ExactDyadic, omega_pow_dyadic
 
 
@@ -130,9 +130,231 @@ def replace_magic_states(
     return cut_vertex(g, ts[0])
 
 
+def _pin_vertex(g: ZXGraph, v: int, c: int) -> None:
+    """Keep only the ``x_v = c`` branch of all-H-edge Z spider ``v``.
+
+    The spider's tensor sums over its value; selecting the branch ``c = 1``
+    multiplies the scalar by ``e^{i·pi·phase(v)}·(-1)^{xor(params(v))}`` and
+    pushes a pi phase onto each Hadamard neighbor; ``c = 0`` contributes 1.
+    Each removed H edge carried a 1/sqrt(2): power2 -= degree.
+    """
+    g.scalar.add_power(-g.degree(v))
+    if c:
+        g.scalar.add_phase(g.phase(v))
+        params = g.get_params(v)
+        if params:
+            g.scalar.add_pi_var(params)
+        for n in g.neighbors(v):
+            g.add_to_phase(n, 1)
+    g.remove_vertex(v)
+
+
+def split_conjugate_pair(g: ZXGraph, v1: int, v2: int) -> GraphSum:
+    """Joint 3-term decomposition of two phases summing to a Clifford angle.
+
+    For spiders with phases ``a + pi·P1`` and ``b + pi·P2`` where ``a + b``
+    has denominator in {1, 2, 4}, partition the double sum over their values
+    (x, y) into three exact branches:
+
+    * x = y: the spiders fuse; combined phase ``a + b``, params ``P1 ^ P2``.
+    * (x, y) = (1, 0): both pinned; scalar ``e^{i·pi·a}·(-1)^{xor(P1)}``.
+    * (x, y) = (0, 1): both pinned; scalar ``e^{i·pi·b}·(-1)^{xor(P2)}``.
+
+    Exact (a sum partition, no coefficient fitting); 3 terms for a conjugate
+    (+theta, -theta) pair vs 4 from cutting both vertices independently.
+    Requires all-H edges on both spiders (graph-like form). An H edge
+    *between* them adds ``(-1)^{xy}``: pi on the fused spider, nothing on the
+    pinned branches.
+    """
+    from .rules import _fuse_pair
+
+    adjacent = g.connected(v1, v2)
+
+    gF = g.copy()
+    fused_phase = (gF.phase(v1) + gF.phase(v2)) % 2
+    if adjacent:
+        gF.remove_edge((v1, v2))
+        fused_phase = (fused_phase + 1) % 2
+        gF.scalar.add_power(-1)  # the removed H edge's 1/sqrt(2)
+    gF.set_phase(v1, fused_phase)
+    gF.set_phase(v2, 0)
+    gF.add_edge((v1, v2), SIMPLE)
+    _fuse_pair(gF, v1, v2)
+
+    gP = g.copy()
+    _pin_vertex(gP, v1, 1)
+    _pin_vertex(gP, v2, 0)
+
+    gQ = g.copy()
+    _pin_vertex(gQ, v2, 1)
+    _pin_vertex(gQ, v1, 0)
+
+    return GraphSum([gF, gP, gQ])
+
+
+def _all_h(g: ZXGraph, v: int) -> bool:
+    return g.type(v) == Z and all(
+        g.edge_type((v, n)) == HADAMARD for n in g.neighbors(v)
+    )
+
+
+def split_doubled_state_pair(
+    g: ZXGraph, l1: int, h1: int, l2: int, h2: int
+) -> GraphSum:
+    """3-term decomposition of a doubled injected state: two conjugate
+    arbitrary-angle leaves on conjugate Clifford+T hosts.
+
+    Motif: ``leaf l1 (phase a + pi*P) --H-- host h1 (phase b + pi*Pb)`` and its
+    mirror ``l2 (-a + pi*P) --H-- h2 (-b + pi*Pd)`` — exactly the shape a
+    non-Clifford state injection takes in a doubled (ket (x) bra) diagram.
+    With x, y the host spider values, the motif's joint factor is
+    ``F(x,y) = psi(x) * conj(psi)(y)`` with ``psi(x) = (1 + e^{ia'}(-1)^x)
+    e^{ib'x} / sqrt(2)``. Partition into three exact Clifford branches:
+
+    * D1 (diagonal, even): hosts fused, leaves gone; scalar 2/2 = 1.
+    * D2 (diagonal, odd):  hosts fused plus a pi phase; scalar
+      ``cos(pi a) * (-1)^P``.
+    * O (off-diagonal): hosts linked by a NOT (X(pi), simple edges), h1 gains
+      pi; scalar ``i * sin(pi a) * (-1)^P``.
+
+    Each branch eliminates both arbitrary-angle leaves AND both host T
+    phases (D branches cancel b against -b; O keeps hosts' b in-graph where
+    the pair remains a conjugate T pair) — the key to reference-level term
+    counts on the distillation workloads (reference d3: 148 terms).
+    Oracle-verified in tests/unit/zx.
+    """
+    import math
+
+    a = g.phase(l1)
+    P = g.get_params(l1)
+
+    gD1 = g.copy()
+    gD1.scalar.add_power(-2)  # two removed leaf H-edges
+    gD1.remove_vertex(l1)
+    gD1.remove_vertex(l2)
+    gD1.set_phase(h1, 0)
+    gD1.set_phase(h2, 0)
+    gD1.scalar.add_power(2)  # constant diagonal coefficient 2
+    gD2 = gD1.copy()
+    from .rules import _fuse_pair
+
+    for gd in (gD1, gD2):
+        gd.add_edge((h1, h2), SIMPLE)
+        _fuse_pair(gd, h1, h2)
+    gD2.add_to_phase(h1, 1)
+    gD2.scalar.add_power(-2)  # cos factor replaces the constant 2
+    gD2.scalar.mul_float(2.0 * math.cos(math.pi * float(a)))
+    if P:
+        gD2.scalar.add_pi_var(P)
+
+    # Off-diagonal branch: anti-fuse h2 into h1 directly (y = NOT x): push a
+    # pi onto each of h2's H-neighbors, move h2's phase/params onto h1, and
+    # pull the constant pieces into the scalar. Doing the anti-fusion here
+    # (rather than leaving an X(pi) NOT spider) immediately combines the two
+    # conjugate host phases into the single Clifford angle 2b + pi.
+    from .rules import add_edge_resolve
+
+    gO = g.copy()
+    # The two leaf-edge 1/sqrt(2) factors are already inside the pulled
+    # coefficient i*sin(pi a) (each psi carries one), so no power change.
+    gO.remove_vertex(l1)
+    gO.remove_vertex(l2)
+    b = g.phase(h1)
+    Pd = g.get_params(h2)
+    gO.scalar.add_phase(Fraction(1, 2))  # the factor i
+    gO.scalar.mul_float(math.sin(math.pi * float(a)))
+    if P:
+        gO.scalar.add_pi_var(P)
+    gO.scalar.add_phase((-b) % 2)  # e^{-i pi b} from h2 evaluated at y = 1
+    if Pd:
+        gO.scalar.add_pi_var(Pd)
+    pending = [n for n in gO.neighbors(h2)]
+    gO.remove_vertex(h2)
+    for n in pending:
+        if gO.type(n) == BOUNDARY:
+            # Cannot push a pi onto a boundary: splice a pi spider onto the
+            # wire (h1 --H-- w(pi) --S-- boundary keeps the edge's tensor).
+            w = gO.add_vertex(
+                Z, qubit=gO.qubit(n), row=(g.row(h2) + gO.row(n)) / 2,
+                phase=Fraction(1),
+            )
+            gO.add_edge((w, n), SIMPLE)
+            add_edge_resolve(gO, h1, w, HADAMARD)
+            continue
+        gO.add_to_phase(n, 1)
+        add_edge_resolve(gO, h1, n, HADAMARD)
+    gO.add_to_phase(h1, b)  # h2's x-dependence folds in: total 2b + pi
+    gO.xor_params(h1, Pd)
+    gO.add_to_phase(h1, 1)  # pi from the off-diagonal leaf factor
+
+    return GraphSum([gD1, gD2, gO])
+
+
+def _find_doubled_state_pair(g: ZXGraph, u3s: list[int]):
+    """Find (l1, h1, l2, h2): conjugate u3 leaves on conjugate Clifford hosts."""
+    leaves = []
+    for v in u3s:
+        if g.degree(v) != 1 or not _all_h(g, v):
+            continue
+        (h,) = g.neighbors(v)
+        if g.type(h) != Z or not _all_h(g, h) or g.degree(h) < 2:
+            continue
+        if g.phase(h).denominator not in (1, 2, 4):
+            continue
+        leaves.append((v, h))
+    for i, (l1, h1) in enumerate(leaves):
+        for l2, h2 in leaves[i + 1 :]:
+            if h1 == h2 or g.connected(h1, h2):
+                continue
+            if ((g.phase(l1) + g.phase(l2)) % 2) != 0:
+                continue
+            if g.get_params(l1) != g.get_params(l2):
+                continue
+            if ((g.phase(h1) + g.phase(h2)) % 2) != 0:
+                continue
+            return l1, h1, l2, h2
+    return None
+
+
 def replace_u3_states(g: ZXGraph, strategy: str = "cat5") -> GraphSum:
-    """One decomposition step on an arbitrary-angle phase vertex."""
-    for v in g.vertices():
-        if _effective_denominator(g, v) not in (1, 2, 4):
-            return cut_vertex(g, v)
-    return GraphSum([g])
+    """One decomposition step on arbitrary-angle phase vertices.
+
+    Prefers joint pair elimination: two arbitrary-angle spiders whose phases
+    sum to a Clifford (denominator <= 4) angle decompose into 3 terms instead
+    of the 4 produced by cutting each separately. Doubled diagrams pair every
+    ket-side rotation ``+theta`` with its bra-side mirror ``-theta``, so this
+    is the common case (reference workloads: the distillation injection
+    rotations, reference ``docs/demos/magic_state_distillation.ipynb``).
+    """
+    u3s = [
+        v
+        for v in g.vertices()
+        if _effective_denominator(g, v) not in (1, 2, 4)
+        and not g.is_boundary_registered(v)
+    ]
+    if not u3s:
+        return GraphSum([g])
+    motif = _find_doubled_state_pair(g, u3s)
+    if motif is not None:
+        return split_doubled_state_pair(g, *motif)
+    # Among all Clifford-sum pairs prefer the one sharing the most neighbors:
+    # in doubled diagrams the ket rotation's mirror (bra) partner overlaps
+    # through the joined measurement vertices, and fusing mirror partners
+    # keeps the branch local (fusing across unrelated blocks couples them and
+    # blocks downstream reduction).
+    best = None
+    for i, v1 in enumerate(u3s):
+        if not _all_h(g, v1):
+            continue
+        n1 = set(g.neighbors(v1))
+        for v2 in u3s[i + 1 :]:
+            if not _all_h(g, v2):
+                continue
+            if ((g.phase(v1) + g.phase(v2)) % 2).denominator not in (1, 2, 4):
+                continue
+            overlap = len(n1 & set(g.neighbors(v2)))
+            if best is None or overlap > best[0]:
+                best = (overlap, v1, v2)
+    if best is not None:
+        return split_conjugate_pair(g, best[1], best[2])
+    return cut_vertex(g, u3s[0])
