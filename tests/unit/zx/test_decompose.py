@@ -1,0 +1,184 @@
+"""Oracle tests for stabilizer-rank decomposition rules.
+
+Every decomposition must satisfy: tensor(g) == sum_k tensor(term_k) for all
+boolean parameter assignments (the reference validates its pyzx-param
+decompositions the same way; reference ``test/integration`` strategy).
+"""
+
+import itertools
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from tsim_tpu.zx.decompose import (
+    cut_vertex,
+    replace_magic_states,
+    replace_u3_states,
+    split_conjugate_pair,
+    split_doubled_state_pair,
+    split_t_pair,
+    tcount,
+    u3_count,
+)
+from tsim_tpu.zx.graph import BOUNDARY, HADAMARD, SIMPLE, Z, ZXGraph
+from tsim_tpu.zx.tensor import graph_to_tensor
+
+PARAMS = ["e0", "e1"]
+ASSIGN = [dict(zip(PARAMS, b)) for b in itertools.product([0, 1], repeat=2)]
+THETA = Fraction(3, 10)
+
+
+def assert_sum_equiv(g, gsum, atol=1e-8):
+    for vals in ASSIGN:
+        tb = np.asarray(graph_to_tensor(g, vals=vals))
+        ta = sum(
+            np.asarray(graph_to_tensor(gg, vals=vals))
+            for gg in gsum.graphs
+            if not gg.scalar.is_zero
+        )
+        np.testing.assert_allclose(tb, ta, atol=atol)
+
+
+def _random_clifford_core(rng, g, n=4):
+    vs = []
+    for _ in range(n):
+        ph = [0, Fraction(1, 4), Fraction(1, 2), Fraction(1)][rng.integers(0, 4)]
+        v = g.add_vertex(Z, phase=ph)
+        if rng.random() < 0.4:
+            g.set_params(v, {PARAMS[rng.integers(0, 2)]})
+        vs.append(v)
+    for a, b in itertools.combinations(vs, 2):
+        if rng.random() < 0.4:
+            g.add_edge((a, b), HADAMARD)
+    return vs
+
+
+def _add_boundaries(rng, g, anchors, k=2):
+    outs = []
+    for _ in range(k):
+        b = g.add_vertex(BOUNDARY)
+        t = anchors[int(rng.integers(0, len(anchors)))]
+        if not g.connected(b, t):
+            g.add_edge((b, t), HADAMARD)
+            outs.append(b)
+    g.set_outputs(outs)
+
+
+class TestConjugatePair:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_graphs(self, seed):
+        rng = np.random.default_rng(seed)
+        g = ZXGraph()
+        vs = _random_clifford_core(rng, g)
+        v1 = g.add_vertex(Z, phase=THETA)
+        v2 = g.add_vertex(Z, phase=(-THETA) % 2)
+        if seed % 2:
+            g.set_params(v1, {PARAMS[0]})
+            g.set_params(v2, {PARAMS[1]})
+        for a in vs:
+            for v in (v1, v2):
+                if rng.random() < 0.5:
+                    g.add_edge((a, v), HADAMARD)
+        if seed % 3 == 0:
+            g.add_edge((v1, v2), HADAMARD)
+        _add_boundaries(rng, g, vs)
+        assert_sum_equiv(g, split_conjugate_pair(g.copy(), v1, v2))
+
+    def test_sum_to_half_pair(self):
+        """Phases summing to a non-zero Clifford angle also split exactly."""
+        g = ZXGraph()
+        anchor = g.add_vertex(Z, phase=Fraction(1, 4))
+        v1 = g.add_vertex(Z, phase=THETA)
+        v2 = g.add_vertex(Z, phase=(Fraction(1, 2) - THETA) % 2)
+        g.add_edge((anchor, v1), HADAMARD)
+        g.add_edge((anchor, v2), HADAMARD)
+        out = g.add_vertex(BOUNDARY)
+        g.add_edge((anchor, out), HADAMARD)
+        g.set_outputs([out])
+        assert_sum_equiv(g, split_conjugate_pair(g.copy(), v1, v2))
+
+
+class TestDoubledStatePair:
+    @pytest.mark.parametrize("seed", range(8))
+    @pytest.mark.parametrize(
+        "host_phase", [Fraction(1, 4), Fraction(3, 4), Fraction(1, 2), Fraction(0)]
+    )
+    def test_random_graphs(self, seed, host_phase):
+        rng = np.random.default_rng(seed)
+        g = ZXGraph()
+        vs = _random_clifford_core(rng, g)
+        h1 = g.add_vertex(Z, phase=host_phase)
+        h2 = g.add_vertex(Z, phase=(-host_phase) % 2)
+        if rng.random() < 0.5:
+            g.set_params(h1, {PARAMS[0]})
+        if rng.random() < 0.5:
+            g.set_params(h2, {PARAMS[1]})
+        l1 = g.add_vertex(Z, phase=THETA)
+        l2 = g.add_vertex(Z, phase=(-THETA) % 2)
+        if seed % 3 == 0:
+            g.set_params(l1, {PARAMS[0]})
+            g.set_params(l2, {PARAMS[0]})
+        g.add_edge((l1, h1), HADAMARD)
+        g.add_edge((l2, h2), HADAMARD)
+        for h in (h1, h2):
+            for v in vs:
+                if rng.random() < 0.6:
+                    g.add_edge((h, v), HADAMARD)
+        _add_boundaries(rng, g, vs + [h1, h2])
+        assert_sum_equiv(g, split_doubled_state_pair(g.copy(), l1, h1, l2, h2))
+
+
+class TestTPair:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_graphs(self, seed):
+        rng = np.random.default_rng(seed)
+        g = ZXGraph()
+        vs = _random_clifford_core(rng, g)
+        phases = [Fraction(k, 4) for k in (1, 3, 5, 7)]
+        v1 = g.add_vertex(Z, phase=phases[seed % 4])
+        v2 = g.add_vertex(Z, phase=phases[(seed + 1) % 4])
+        for a in vs:
+            for v in (v1, v2):
+                if rng.random() < 0.5:
+                    g.add_edge((a, v), HADAMARD)
+        _add_boundaries(rng, g, vs)
+        assert_sum_equiv(g, split_t_pair(g.copy(), v1, v2))
+
+
+class TestDrivers:
+    def test_replace_u3_prefers_motif(self):
+        """The doubled-state motif yields 3 branches with both T hosts gone."""
+        g = ZXGraph()
+        core = g.add_vertex(Z)
+        h1 = g.add_vertex(Z, phase=Fraction(1, 4))
+        h2 = g.add_vertex(Z, phase=Fraction(7, 4))
+        l1 = g.add_vertex(Z, phase=THETA)
+        l2 = g.add_vertex(Z, phase=(-THETA) % 2)
+        g.add_edge((l1, h1), HADAMARD)
+        g.add_edge((l2, h2), HADAMARD)
+        g.add_edge((h1, core), HADAMARD)
+        g.add_edge((h2, core), HADAMARD)
+        gsum = replace_u3_states(g.copy())
+        assert len(gsum.graphs) == 3
+        assert all(u3_count(gg) == 0 for gg in gsum.graphs)
+        assert all(tcount(gg) == 0 for gg in gsum.graphs)
+        assert_sum_equiv(g, gsum)
+
+    def test_replace_u3_falls_back_to_cut(self):
+        g = ZXGraph()
+        v = g.add_vertex(Z, phase=THETA)
+        out = g.add_vertex(BOUNDARY)
+        g.add_edge((v, out), HADAMARD)
+        g.set_outputs([out])
+        gsum = replace_u3_states(g.copy())
+        assert len(gsum.graphs) == 2
+        assert_sum_equiv(g, gsum)
+
+    def test_cut_vertex_exact_dyadic(self):
+        g = ZXGraph()
+        v = g.add_vertex(Z, phase=Fraction(1, 4), phaseVars=["e0"])
+        out = g.add_vertex(BOUNDARY)
+        g.add_edge((v, out), HADAMARD)
+        g.set_outputs([out])
+        assert_sum_equiv(g, cut_vertex(g.copy(), v))
