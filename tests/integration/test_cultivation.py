@@ -1,0 +1,51 @@
+"""Cultivation model family: oracle validation + compiled-sampler agreement.
+
+The d=3 cultivation benchmark circuit (reference benchmarks panel 3) is
+validated physically: noiseless checks and stabilizer detectors are
+deterministic zero, and the logical X readout of |H_XY> has mean
+(1 - 1/sqrt(2))/2.
+"""
+
+import numpy as np
+
+from tsim_tpu.external.vec_sim.vec_sampler import VecSampler
+from tsim_tpu.models.cultivation import cultivation_d3, cultivation_logical
+
+OBS_MEAN = (1 - 1 / np.sqrt(2)) / 2  # 0.1464...
+
+
+def test_logical_cultivation_oracle():
+    c = cultivation_logical(p=0.0, checks=2, noise=0.0)
+    rec, dets, obs = VecSampler(c, seed=0).sample(400)
+    assert np.asarray(dets).sum() == 0
+    assert abs(np.asarray(obs).mean() - OBS_MEAN) < 0.05
+
+
+def test_encoded_cultivation_oracle():
+    c = cultivation_d3(p=0.0, checks=1, stabilizer_rounds=1, noise=0.0)
+    assert c.num_qubits == 8
+    assert c.num_detectors == 10
+    rec, dets, obs = VecSampler(c, seed=1).sample(150)
+    assert np.asarray(dets).sum() == 0
+    assert abs(np.asarray(obs).mean() - OBS_MEAN) < 0.09
+
+
+def test_compiled_sampler_matches_oracle_statistics():
+    c = cultivation_logical(p=0.02, checks=1, noise=0.002)
+    sampler = c.compile_detector_sampler(seed=3)
+    det, obs = sampler.sample(6000, batch_size=6000, separate_observables=True)
+    rec, dets_o, obs_o = VecSampler(c, seed=4).sample(6000)
+    det_rate, det_rate_o = det.mean(), np.asarray(dets_o).mean()
+    obs_rate, obs_rate_o = obs.mean(), np.asarray(obs_o).mean()
+    # 4-sigma binomial agreement on both rates.
+    for got, exp in [(det_rate, det_rate_o), (obs_rate, obs_rate_o)]:
+        sigma = np.sqrt(max(exp * (1 - exp), 1e-4) / 6000)
+        assert abs(got - exp) < 4 * sigma + 1e-3, (got, exp)
+
+
+def test_noiseless_compiled_detectors_deterministic():
+    c = cultivation_logical(p=0.0, checks=2, noise=0.0)
+    sampler = c.compile_detector_sampler(seed=5)
+    det, obs = sampler.sample(3000, batch_size=3000, separate_observables=True)
+    assert det.sum() == 0
+    assert abs(obs.mean() - OBS_MEAN) < 0.03

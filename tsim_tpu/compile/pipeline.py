@@ -116,24 +116,37 @@ def _compile_component(
     compiled_graphs: list[CompiledScalarGraphs] = []
     power2_base: int | None = None
 
+    from ..zx.simplify import set_shake
+
     for num_m_plugged, plugged in zip(outputs_to_plug, plugged_graphs):
-        g_copy = plugged.copy()
-        full_reduce(g_copy, paramSafe=True)
-        g_copy.normalize()
-
-        if power2_base is None:
-            power2_base = g_copy.scalar.power2
-        g_copy.scalar.add_power(-power2_base)
-
-        _remove_phase_terms(g_copy)
-
         param_names = [f"f{i}" for i in f_selected_values]
         param_names += [f"m{output_indices[j]}" for j in range(num_m_plugged)]
 
-        g_list = find_stab(g_copy, strategy=strategy)
-        if len(g_list) == 1:
-            _remove_phase_terms(g_list[0])
-        compiled_graphs.append(compile_scalar_graphs(g_list, param_names))
+        # The shake pass is a heuristic that shrinks some decompositions
+        # and grows others: compile both ways, keep the smaller term count.
+        best_list = None
+        best_base = None
+        for shake in (True, False):
+            prev = set_shake(shake)
+            try:
+                g_copy = plugged.copy()
+                full_reduce(g_copy, paramSafe=True)
+                g_copy.normalize()
+                base = power2_base if power2_base is not None else g_copy.scalar.power2
+                g_copy.scalar.add_power(-base)
+                _remove_phase_terms(g_copy)
+                g_list = find_stab(g_copy, strategy=strategy)
+            finally:
+                set_shake(prev)
+            if best_list is None or len(g_list) < len(best_list):
+                best_list = g_list
+                best_base = base
+        assert best_list is not None
+        if power2_base is None:
+            power2_base = best_base
+        if len(best_list) == 1:
+            _remove_phase_terms(best_list[0])
+        compiled_graphs.append(compile_scalar_graphs(best_list, param_names))
 
     return CompiledComponent(
         output_indices=tuple(output_indices),

@@ -14,20 +14,43 @@ from ..zx.graph import ZXGraph
 from ..zx.simplify import full_reduce
 
 
+def _graph_state_key(g: ZXGraph):
+    """Exact-equality key of a graph's structure plus its symbolic scalar.
+
+    Children of one decomposition share vertex ids, so branches that
+    converge to the same intermediate state compare equal as plain dicts —
+    no isomorphism needed. Merging them turns the decomposition tree into a
+    DAG (constants add), which is exponentially smaller on structured
+    circuits (e.g. cultivation checks).
+    """
+    adj = tuple(
+        sorted((v, tuple(sorted(nbrs.items()))) for v, nbrs in g._adj.items())
+    )
+    verts = tuple(
+        sorted(
+            (v, g._ty[v], str(g._phase[v]), tuple(sorted(g._params[v])))
+            for v in g._ty
+        )
+    )
+    return (verts, adj, _scalar_signature(g))
+
+
 def _decompose(graphs: Sequence[ZXGraph], count_fn, replace_fn) -> list[ZXGraph]:
     results: list[ZXGraph] = []
-    stack = list(graphs)[::-1]
-    while stack:
-        graph = stack.pop()
-        if count_fn(graph) == 0:
-            results.append(graph)
-            continue
-        gsum = replace_fn(graph.copy())
-        for g in gsum.graphs:
-            full_reduce(g, paramSafe=True)
-            if g.scalar.is_zero:
+    level: list[ZXGraph] = list(graphs)
+    while level:
+        nxt: list[ZXGraph] = []
+        for graph in level:
+            if count_fn(graph) == 0:
+                results.append(graph)
                 continue
-            stack.append(g)
+            gsum = replace_fn(graph.copy())
+            for g in gsum.graphs:
+                full_reduce(g, paramSafe=True)
+                if g.scalar.is_zero:
+                    continue
+                nxt.append(g)
+        level = merge_equal_states(nxt) if len(nxt) > 1 else nxt
     return results
 
 
@@ -85,94 +108,120 @@ def _scalar_signature(g: ZXGraph):
     return (nodes, halfpi, pipairs, pairs, tuple(sorted(s.phasevars_pi)))
 
 
-def merge_parallel_graphs(graphs: list[ZXGraph]) -> list[ZXGraph]:
-    """Merge scalar graphs whose symbolic parts coincide by summing their
-    constant prefactors (exactly in Z[w]*sqrt(2)^p when possible).
-
-    Decomposition branches frequently differ only in pulled constants; a
-    merged sum keeps term counts (the kernel's G axis) at the number of
-    *distinct* parameter dependencies. Graphs whose merged constant is
-    exactly zero are dropped.
-    """
+def _merge_constants(members: list[ZXGraph]) -> ZXGraph | None:
+    """Sum the constant scalar prefactors of graphs with equal symbolic
+    parts into the first member (exactly in Z[w]*sqrt(2)^p when possible).
+    Returns None when the sum is exactly/numerically zero."""
     import cmath
     import math
 
     from ..zx.scalar import ExactDyadic
 
+    base = members[0]
+    s0 = base.scalar
+    exact = all(
+        abs(complex(m.scalar.approximate_floatfactor) - 1.0) < 1e-15
+        and m.scalar.phase.denominator in (1, 2, 4)
+        for m in members
+    )
+    if exact:
+        p_min = min(m.scalar.power2 for m in members)
+        total = ExactDyadic(0, 0, 0, 0)
+        for m in members:
+            s = m.scalar
+            d = s.floatfactor.mul_omega_pow(int(s.phase * 4) % 8)
+            dp = s.power2 - p_min
+            if dp % 2:
+                d = d * ExactDyadic(0, 1, 0, -1)  # sqrt(2)
+                dp -= 1
+            shift = 1 << (dp // 2)
+            d = ExactDyadic(d.a * shift, d.b * shift, d.c * shift, d.d * shift)
+            total = ExactDyadic(
+                total.a + d.a, total.b + d.b, total.c + d.c, total.d + d.d
+            )
+        if total.is_zero():
+            return None
+        s0.power2 = p_min
+        s0.phase = type(s0.phase)(0)
+        s0.floatfactor = total
+        s0.approximate_floatfactor = 1.0
+        return base
+    scale = max(
+        abs(
+            2.0 ** (m.scalar.power2 / 2.0)
+            * abs(m.scalar.floatfactor.to_complex())
+            * abs(complex(m.scalar.approximate_floatfactor))
+        )
+        for m in members
+    )
+    total_c = 0j
+    for m in members:
+        s = m.scalar
+        total_c += (
+            2.0 ** (s.power2 / 2.0)
+            * cmath.exp(1j * math.pi * float(s.phase))
+            * s.floatfactor.to_complex()
+            * complex(s.approximate_floatfactor)
+        )
+    if scale > 0 and abs(total_c) / scale < 1e-14:
+        return None
+    s0.power2 = 0
+    s0.phase = type(s0.phase)(0)
+    s0.floatfactor = ExactDyadic(1, 0, 0, 0)
+    s0.approximate_floatfactor = total_c
+    return base
+
+
+def _merge_by_key(graphs: list[ZXGraph], key_fn) -> list[ZXGraph]:
     groups: dict = {}
     order: list = []
     for g in graphs:
-        if g.num_vertices() != 0 or g.scalar.is_zero:
-            # Only fully-contracted graphs participate; leave others alone.
-            key = ("__opaque__", id(g))
-        else:
-            key = _scalar_signature(g)
+        key = key_fn(g)
         if key not in groups:
             groups[key] = [g]
             order.append(key)
         else:
             groups[key].append(g)
-
     out: list[ZXGraph] = []
     for key in order:
         members = groups[key]
         if len(members) == 1 or key[0] == "__opaque__":
             out.extend(members)
             continue
-        exact = all(
-            abs(complex(m.scalar.approximate_floatfactor) - 1.0) < 1e-15
-            and m.scalar.phase.denominator in (1, 2, 4)
-            for m in members
-        )
-        base = members[0]
-        s0 = base.scalar
-        if exact:
-            p_min = min(m.scalar.power2 for m in members)
-            total = ExactDyadic(0, 0, 0, 0)
-            for m in members:
-                s = m.scalar
-                d = s.floatfactor.mul_omega_pow(int(s.phase * 4) % 8)
-                dp = s.power2 - p_min
-                if dp % 2:
-                    d = d * ExactDyadic(0, 1, 0, -1)  # sqrt(2)
-                    dp -= 1
-                shift = 1 << (dp // 2)
-                d = ExactDyadic(d.a * shift, d.b * shift, d.c * shift, d.d * shift)
-                total = ExactDyadic(
-                    total.a + d.a, total.b + d.b, total.c + d.c, total.d + d.d
-                )
-            if total.is_zero():
-                continue
-            s0.power2 = p_min
-            s0.phase = type(s0.phase)(0)
-            s0.floatfactor = total
-            s0.approximate_floatfactor = 1.0
-        else:
-            scale = max(
-                abs(
-                    2.0 ** (m.scalar.power2 / 2.0)
-                    * abs(m.scalar.floatfactor.to_complex())
-                    * abs(complex(m.scalar.approximate_floatfactor))
-                )
-                for m in members
-            )
-            total_c = 0j
-            for m in members:
-                s = m.scalar
-                total_c += (
-                    2.0 ** (s.power2 / 2.0)
-                    * cmath.exp(1j * math.pi * float(s.phase))
-                    * s.floatfactor.to_complex()
-                    * complex(s.approximate_floatfactor)
-                )
-            if scale > 0 and abs(total_c) / scale < 1e-14:
-                continue
-            s0.power2 = 0
-            s0.phase = type(s0.phase)(0)
-            s0.floatfactor = ExactDyadic(1, 0, 0, 0)
-            s0.approximate_floatfactor = total_c
-        out.append(base)
+        merged = _merge_constants(members)
+        if merged is not None:
+            out.append(merged)
     return out
+
+
+def merge_parallel_graphs(graphs: list[ZXGraph]) -> list[ZXGraph]:
+    """Merge scalar graphs whose symbolic parts coincide by summing their
+    constant prefactors.
+
+    Decomposition branches frequently differ only in pulled constants; a
+    merged sum keeps term counts (the kernel's G axis) at the number of
+    *distinct* parameter dependencies. Graphs whose merged constant is
+    exactly zero are dropped.
+    """
+
+    def key_fn(g):
+        if g.num_vertices() != 0 or g.scalar.is_zero:
+            return ("__opaque__", id(g))
+        return ("s", _scalar_signature(g))
+
+    return _merge_by_key(graphs, key_fn)
+
+
+def merge_equal_states(graphs: list[ZXGraph]) -> list[ZXGraph]:
+    """Merge in-flight decomposition branches with exactly equal graph
+    state (same vertex ids/types/phases/params/edges) and symbolic scalar."""
+
+    def key_fn(g):
+        if g.scalar.is_zero:
+            return ("__opaque__", id(g))
+        return ("g", _graph_state_key(g))
+
+    return _merge_by_key(graphs, key_fn)
 
 
 def find_stab(graph: ZXGraph, strategy: str) -> list[ZXGraph]:

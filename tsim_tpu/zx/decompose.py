@@ -110,6 +110,31 @@ def split_t_pair(g: ZXGraph, v1: int, v2: int) -> GraphSum:
     return GraphSum([gA, gB])
 
 
+def _best_t_pair(g: ZXGraph, ts: list[int]) -> tuple[int, int]:
+    """Pick the magic pair to split: prefer conjugate phases (doubled-diagram
+    mirrors, whose equality branch cancels the magic) and shared targets.
+
+    For gadget leaves the relevant neighborhood is the hub's target set."""
+
+    def targets(v):
+        if g.degree(v) == 1:
+            (h,) = g.neighbors(v)
+            return set(g.neighbors(h)) - {v}
+        return set(g.neighbors(v))
+
+    best = None
+    for i, v1 in enumerate(ts):
+        t1 = targets(v1)
+        p1 = g.phase(v1)
+        for v2 in ts[i + 1 :]:
+            conj = 4 if (p1 + g.phase(v2)) % 2 == 0 else 0
+            score = conj * 4 + len(t1 & targets(v2))
+            if best is None or score > best[0]:
+                best = (score, v1, v2)
+    assert best is not None
+    return best[1], best[2]
+
+
 def replace_magic_states(
     g: ZXGraph, pick_random: bool = False, strategy: str = "cat5"
 ) -> GraphSum:
@@ -119,14 +144,8 @@ def replace_magic_states(
         return GraphSum([g])
     if strategy == "cutting":
         return cut_vertex(g, ts[0])
-    # cat5/bss: prefer cutting gadget leaves (they immediately disappear),
-    # then pair up remaining magic vertices; a lone remainder is cut.
-    if strategy == "cat5":
-        leaves = [v for v in ts if _is_gadget_leaf(g, v)]
-        if leaves:
-            return cut_vertex(g, leaves[0])
     if len(ts) >= 2:
-        return split_t_pair(g, ts[0], ts[1])
+        return split_t_pair(g, *_best_t_pair(g, ts))
     return cut_vertex(g, ts[0])
 
 

@@ -313,6 +313,19 @@ def _all_h_edges(g: ZXGraph, v: int) -> bool:
     return all(t == HADAMARD for t in g._adj[v].values())
 
 
+def _has_gadget_leaf(g: ZXGraph, v: int) -> bool:
+    """True if ``v`` is a phase-gadget hub (has a degree-1 interior neighbor).
+
+    Pivoting or complementing a hub releases its leaf into the graph, which
+    endlessly re-triggers gadget formation (unfuse -> pivot -> release ->
+    unfuse ...); all pivot matchers must skip hubs.
+    """
+    adj = g._adj
+    return any(
+        len(adj[n]) == 1 and g._ty[n] == Z and n not in g._bset for n in adj[v]
+    )
+
+
 def lcomp(g: ZXGraph, u: int) -> None:
     """Apply local complementation at ``u`` (caller checks applicability).
 
@@ -428,6 +441,8 @@ def pivot_matcher(g: ZXGraph) -> bool:
             continue
         if g.phase(u) not in (F0, F1):
             continue
+        if _has_gadget_leaf(g, u):
+            continue
         for v in list(g.neighbors(u)):
             if v not in g.types():
                 break
@@ -436,6 +451,8 @@ def pivot_matcher(g: ZXGraph) -> bool:
             if g.phase(v) not in (F0, F1):
                 continue
             if g.edge_type((u, v)) != HADAMARD:
+                continue
+            if _has_gadget_leaf(g, v):
                 continue
             pivot(g, u, v)
             changed = True

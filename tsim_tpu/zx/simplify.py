@@ -99,12 +99,16 @@ def _clear_to_zero(g: ZXGraph) -> None:
     # Keep the graph as-is; downstream checks scalar.is_zero.
 
 
-def pivot_gadget_simp(g: ZXGraph) -> bool:
+def pivot_gadget_simp(g: ZXGraph, allow_hubs: bool = False) -> bool:
     """Enable pivots next to non-Clifford spiders by unfusing them to gadgets.
 
     For an interior Pauli-phase spider u adjacent (via H) to an interior
     non-Clifford (or parametric non-Pauli) spider v: unfuse v's phase into a
     gadget, then pivot (u, v).
+
+    ``allow_hubs`` permits pivots that release gadget leaves — individually
+    valid but non-terminating as a fixpoint rule; used only inside the
+    bounded ``_shake`` pass of :func:`full_reduce`.
     """
     changed = False
     for u in list(g.vertices()):
@@ -114,6 +118,8 @@ def pivot_gadget_simp(g: ZXGraph) -> bool:
             continue
         if g.phase(u) not in (F0, F1):
             continue
+        if not allow_hubs and rules._has_gadget_leaf(g, u):
+            continue  # pivoting a hub releases its leaf: endless churn
         for v in list(g.neighbors(u)):
             if v not in g.types() or not rules._interior(g, v):
                 continue
@@ -125,6 +131,8 @@ def pivot_gadget_simp(g: ZXGraph) -> bool:
                 continue  # plain pivot handles it
             if g.degree(v) == 1:
                 continue  # already a gadget leaf
+            if not allow_hubs and rules._has_gadget_leaf(g, v):
+                continue
             unfuse_to_gadget(g, v)
             rules.pivot(g, u, v)
             changed = True
@@ -148,12 +156,16 @@ def boundary_pivot_simp(g: ZXGraph) -> bool:
             continue
         if g.phase(u) not in (F0, F1):
             continue
+        if rules._has_gadget_leaf(g, u):
+            continue
         for v in list(g.neighbors(u)):
             if v not in g.types():
                 continue
             if g.type(v) != Z or v in g._bset:
                 continue
             if g.edge_type((u, v)) != HADAMARD:
+                continue
+            if rules._has_gadget_leaf(g, v):
                 continue
             bnd = [n for n in g.neighbors(v) if g.type(n) == BOUNDARY]
             if not bnd:
@@ -257,19 +269,56 @@ def _signature(g: ZXGraph):
     )
 
 
+def _nonclifford_count(g: ZXGraph) -> int:
+    return sum(1 for v in g.vertices() if g.phase(v).denominator > 2)
+
+
+# Shake (bounded hub-releasing pivots) is a heuristic: it shrinks some
+# decompositions and grows others. The pipeline compiles each plugged
+# circuit with shake on and off and keeps the smaller (compile/pipeline.py).
+_SHAKE_ENABLED = True
+
+
+def set_shake(enabled: bool) -> bool:
+    global _SHAKE_ENABLED
+    prev = _SHAKE_ENABLED
+    _SHAKE_ENABLED = enabled
+    return prev
+
+
+def _shake(g: ZXGraph, rounds: int = 30) -> None:
+    """Bounded hub-releasing passes, keeping only strict improvements.
+
+    Hub pivots are tensor-exact but non-terminating as fixpoint rules (the
+    released leaf re-forms a gadget elsewhere). Run one permissive pass at a
+    time and keep the result only when it strictly shrinks
+    (non-Clifford count, vertices, edges); otherwise revert and stop.
+    """
+    for _ in range(rounds):
+        before = (_nonclifford_count(g), g.num_vertices(), g.num_edges())
+        snap = g.copy()
+        changed = pivot_gadget_simp(g, allow_hubs=True)
+        if changed:
+            interior_clifford_simp(g)
+            gadget_simp(g)
+            interior_clifford_simp(g)
+        after = (_nonclifford_count(g), g.num_vertices(), g.num_edges())
+        if not changed or after >= before:
+            if after > before:
+                g.__dict__.update(snap.__dict__)
+            return
+
+
 def full_reduce(g: ZXGraph, paramSafe: bool = True, quiet: bool = True) -> None:
     """Reduce ``g`` as far as possible, preserving the tensor exactly.
 
     All passes are individually tensor-exact, so terminating at any point is
-    sound; a signature-based cycle detector stops pivot/unfuse oscillations.
+    sound. Fixpoint rules exclude gadget hubs (termination); a bounded
+    ``_shake`` pass then explores hub-releasing pivots, kept only when they
+    strictly shrink the diagram.
     """
     interior_clifford_simp(g)
-    seen: set = set()
     for _ in range(1000):
-        sig = _signature(g)
-        if sig in seen:
-            break
-        seen.add(sig)
         changed = pivot_gadget_simp(g)
         if changed:
             interior_clifford_simp(g)
@@ -281,4 +330,6 @@ def full_reduce(g: ZXGraph, paramSafe: bool = True, quiet: bool = True) -> None:
             interior_clifford_simp(g)
         if not (changed or c2 or c3):
             break
+    if _SHAKE_ENABLED:
+        _shake(g)
     g.normalize()
