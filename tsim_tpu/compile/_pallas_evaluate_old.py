@@ -34,17 +34,6 @@ _BT = 64    # batch tile
 _GT_MAX = 1024  # graph tile cap (wider tiles amortize better, ~13% on v5e)
 
 
-def _tiles() -> tuple[int, int, int]:
-    """(batch_tile, graph_tile_cap, graph_granule) for the active backend.
-
-    Mosaic wants (8, 128)-aligned tiles; the interpret path (CPU tests)
-    compiles its XLA emulation in time proportional to tile area, so tiny
-    tiles there (370s -> 5s per compile on a 1-core host)."""
-    if jax.default_backend() == "tpu":
-        return _BT, _GT_MAX, 128
-    return 8, 8, 8
-
-
 def _pad_to(x: np.ndarray | Array, size: int, axis: int, value=0):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -324,59 +313,42 @@ def _combine_partials(out_c: Array, out_p: Array) -> Array:
     return jnp.sqrt(re * re + im * im) * jnp.exp2(esa.power.astype(jnp.float32))
 
 
-def _live_counts(circuit: CompiledScalarGraphs) -> np.ndarray:
-    """Per-graph live term counts (A + B + 2*C + 2*D parity rows)."""
-    a = np.asarray(circuit.node_phases.counts, np.int64)
-    b = (np.asarray(circuit.halfpi_phases.coeffs) != 0).sum(axis=0)
-    c = (
-        (np.asarray(circuit.pi_products.psi_const) != 0)
-        | (np.asarray(circuit.pi_products.psi_params).sum(axis=2) != 0)
-        | (np.asarray(circuit.pi_products.phi_params).sum(axis=2) != 0)
-    ).sum(axis=0)
-    d = np.asarray(circuit.phase_pairs.counts, np.int64)
-    return a + b + 2 * c + 2 * d
+def evaluate_abs_fused(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
+    """|amplitude| per batch row via the fused Pallas kernel (exact path)."""
+    B, P_in = param_vals.shape
+    G = circuit.num_graphs
+    # Adaptive graph tile: one tile when G fits (no cross-tile partials),
+    # capped so VMEM holds the working set. The per-tile working set is
+    # dominated by the (Bt, T, Gt) parity tensors: roughly
+    # (T1 + T2 + 2*T3 + 2*T4) * Bt * Gt * 8 bytes (f32 GEMM result + int32
+    # view per parity matmul); cap it at ~12 MB of the 16 MB scoped VMEM.
+    t1 = max(circuit.node_phases.phases.shape[0], 1)
+    t2 = max(circuit.halfpi_phases.coeffs.shape[0], 1)
+    t3 = max(circuit.pi_products.psi_const.shape[0], 1)
+    t4 = max(circuit.phase_pairs.alpha.shape[0], 1)
+    t_par = t1 + t2 + 2 * t3 + 2 * t4
+    gt_fit = max(128, (12 * 2**20) // (t_par * _BT * 8) // 128 * 128)
+    _GT = min(_GT_MAX, gt_fit, ((G + 127) // 128) * 128)
+    Gp = ((G + _GT - 1) // _GT) * _GT
+    Bp = max(_BT, ((B + _BT - 1) // _BT) * _BT)
+    P = max(P_in, 8)
 
+    blocks = _family_blocks(circuit, Gp, P)
+    T1 = blocks["np_phases"].shape[0]
+    T2 = blocks["hp_coeffs"].shape[0]
+    T3 = blocks["pp_psi_c"].shape[0]
+    T4 = blocks["qp_alpha"].shape[0]
+    for k2, k3 in (
+        ("np_phases", "np_params"), ("hp_coeffs", "hp_params"),
+        ("pp_psi_c", "pp_psi_p"), ("pp_phi_c", "pp_phi_p"),
+        ("qp_alpha", "qp_alpha_p"), ("qp_beta", "qp_beta_p"),
+    ):
+        blocks[k2], blocks[k3] = _ensure_t(blocks[k2], blocks[k3], Gp, P)
 
-def _bucket_boundaries(
-    live_sorted: np.ndarray, granule: int, max_buckets: int = 3
-) -> list[int]:
-    """Split points minimizing sum(bucket_size * bucket_maxT) over sorted
-    live counts (greedy over candidate split grid; exact enough for <= 3)."""
-    G = len(live_sorted)
-    if G <= granule or max_buckets == 1:
-        return [G]
-    best = ([G], G * int(live_sorted[-1]))
-    candidates = sorted(
-        {int(q * G) // granule * granule for q in (0.25, 0.5, 0.75)} - {0, G}
-    )
-    import itertools as it
+    x = _pad_to(_pad_to(param_vals.astype(jnp.uint8), P, 1), Bp, 0)
 
-    for k in (1, 2):
-        for splits in it.combinations(candidates, k):
-            bounds = list(splits) + [G]
-            lo = 0
-            cost = 0
-            for hi in bounds:
-                if hi <= lo:
-                    cost = None
-                    break
-                cost += (hi - lo) * int(live_sorted[hi - 1])
-                lo = hi
-            if cost is not None and cost < best[1]:
-                best = (bounds, cost)
-    return best[0]
-
-
-def _slice_family(arr: np.ndarray, idx: np.ndarray, t_max: int) -> np.ndarray:
-    """Select graph columns and trim the term axis to ``t_max`` rows."""
-    out = arr[: max(t_max, 0)][:, idx] if arr.ndim >= 2 else arr[idx]
-    return np.ascontiguousarray(out)
-
-
-def _run_fused_bucket(blocks: dict, dims, x: Array, Bp: int, P: int, approx: bool):
-    T1, T2, T3, T4, _GT, Gp, bt = dims
-    n_bt, n_gt = Bp // bt, Gp // _GT
-    kdims = (T1, T2, T3, T4, _GT)
+    n_bt, n_gt = Bp // _BT, Gp // _GT
+    dims = (T1, T2, T3, T4, _GT)
 
     def spec2(T):
         return pl.BlockSpec((max(T, 1), _GT), lambda i, j: (0, j))
@@ -385,9 +357,11 @@ def _run_fused_bucket(blocks: dict, dims, x: Array, Bp: int, P: int, approx: boo
         return pl.BlockSpec((max(T, 1), _GT, P), lambda i, j: (0, j, 0))
 
     spec_c = pl.BlockSpec((1, _GT), lambda i, j: (0, j))
+
     grid = (n_bt, n_gt)
+    approx = bool(circuit.prefactor.has_approximate_floatfactors)
     in_specs = [
-        pl.BlockSpec((bt, P), lambda i, j: (i, 0)),
+        pl.BlockSpec((_BT, P), lambda i, j: (i, 0)),
         spec2(T1), spec3(T1), spec_c,
         spec2(T2), spec3(T2),
         spec2(T3), spec3(T3), spec2(T3), spec3(T3),
@@ -409,21 +383,24 @@ def _run_fused_bucket(blocks: dict, dims, x: Array, Bp: int, P: int, approx: boo
     # two block dims to divide (8, 128) or equal the array dims.
     if approx:
         out = pl.pallas_call(
-            functools.partial(_kernel_approx, kdims),
+            functools.partial(_kernel_approx, dims),
             grid=grid,
-            in_specs=in_specs + [pl.BlockSpec((2, _GT), lambda i, j: (0, j))],
-            out_specs=pl.BlockSpec((1, bt, 2), lambda i, j: (j, i, 0)),
+            in_specs=in_specs
+            + [pl.BlockSpec((2, _GT), lambda i, j: (0, j))],
+            out_specs=pl.BlockSpec((1, _BT, 2), lambda i, j: (j, i, 0)),
             out_shape=jax.ShapeDtypeStruct((n_gt, Bp, 2), jnp.float32),
             interpret=interpret,
         )(*inputs, blocks["pf_approx"])
-        return jnp.sum(out, axis=0)  # (Bp, 2) partial complex sum
-    return pl.pallas_call(
-        functools.partial(_kernel_exact, kdims),
+        total = jnp.sum(out, axis=0)  # (Bp, 2) partial complex sums
+        result = jnp.sqrt(total[:, 0] ** 2 + total[:, 1] ** 2)
+        return result[:B]
+    out_c, out_p = pl.pallas_call(
+        functools.partial(_kernel_exact, dims),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, bt, 4), lambda i, j: (j, i, 0)),
-            pl.BlockSpec((1, bt, 1), lambda i, j: (j, i, 0)),
+            pl.BlockSpec((1, _BT, 4), lambda i, j: (j, i, 0)),
+            pl.BlockSpec((1, _BT, 1), lambda i, j: (j, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_gt, Bp, 4), jnp.int32),
@@ -431,132 +408,6 @@ def _run_fused_bucket(blocks: dict, dims, x: Array, Bp: int, P: int, approx: boo
         ],
         interpret=interpret,
     )(*inputs)
-
-
-def evaluate_abs_fused(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
-    """|amplitude| per batch row via the fused Pallas kernel.
-
-    Graphs are bucketed by live term count (sorted, split to minimize
-    size*maxT) so lightly-termed graphs don't pay the heaviest graph's
-    padded term loop; each bucket trims its family tensors to the bucket
-    max and launches its own kernel, and bucket partial sums combine
-    exactly (Z[w]) or in complex float32 (approximate path).
-    """
-    B, P_in = param_vals.shape
-    G = circuit.num_graphs
-    bt, gt_max, granule = _tiles()
-    Bp = max(bt, ((B + bt - 1) // bt) * bt)
-    P = max(P_in, 8)
-    x = _pad_to(_pad_to(param_vals.astype(jnp.uint8), P, 1), Bp, 0)
-    approx = bool(circuit.prefactor.has_approximate_floatfactors)
-
-    live = _live_counts(circuit)
-    order = np.argsort(live, kind="stable")
-    bounds = _bucket_boundaries(live[order], granule)
-
-    # Full (unpadded) numpy family arrays, graph axis trailing.
-    fam = dict(
-        np_phases=np.asarray(circuit.node_phases.phases, np.int32),
-        np_params=np.asarray(circuit.node_phases.params, np.uint8),
-        np_counts=np.asarray(circuit.node_phases.counts, np.int32)[None, :],
-        hp_coeffs=np.asarray(circuit.halfpi_phases.coeffs, np.int32),
-        hp_params=np.asarray(circuit.halfpi_phases.params, np.uint8),
-        pp_psi_c=np.asarray(circuit.pi_products.psi_const, np.int32),
-        pp_psi_p=np.asarray(circuit.pi_products.psi_params, np.uint8),
-        pp_phi_c=np.asarray(circuit.pi_products.phi_const, np.int32),
-        pp_phi_p=np.asarray(circuit.pi_products.phi_params, np.uint8),
-        qp_alpha=np.asarray(circuit.phase_pairs.alpha, np.int32),
-        qp_alpha_p=np.asarray(circuit.phase_pairs.alpha_params, np.uint8),
-        qp_beta=np.asarray(circuit.phase_pairs.beta, np.int32),
-        qp_beta_p=np.asarray(circuit.phase_pairs.beta_params, np.uint8),
-        qp_counts=np.asarray(circuit.phase_pairs.counts, np.int32)[None, :],
-        pf_phase=np.asarray(circuit.prefactor.phase_indices, np.int32)[None, :],
-        pf_ff=np.asarray(circuit.prefactor.floatfactor, np.int32).T,
-        pf_pow=np.asarray(circuit.prefactor.power2, np.int32)[None, :],
-        pf_approx=np.asarray(
-            circuit.prefactor.approximate_floatfactors, np.float32
-        ).T,
-    )
-
-    partials_exact: list[tuple[Array, Array]] = []
-    partial_approx = None
-    lo = 0
-    for hi in bounds:
-        idx = order[lo:hi]
-        lo = hi
-        if len(idx) == 0:
-            continue
-        # Per-bucket trimmed term maxima.
-        a_max = int(fam["np_counts"][0, idx].max(initial=0))
-        b_max = int((fam["hp_coeffs"][:, idx] != 0).sum(axis=0).max(initial=0))
-        c_live = (
-            (fam["pp_psi_c"][:, idx] != 0)
-            | (fam["pp_psi_p"][:, idx].sum(axis=2) != 0)
-            | (fam["pp_phi_p"][:, idx].sum(axis=2) != 0)
-        ).sum(axis=0)
-        c_max = int(c_live.max(initial=0))
-        d_max = int(fam["qp_counts"][0, idx].max(initial=0))
-
-        t_par = max(a_max, 1) + max(b_max, 1) + 2 * max(c_max, 1) + 2 * max(d_max, 1)
-        gt_fit = max(
-            granule,
-            (12 * 2**20) // (t_par * bt * 8) // granule * granule,
-        )
-        Gb = len(idx)
-        _GT = min(gt_max, gt_fit, ((Gb + granule - 1) // granule) * granule)
-        Gp = ((Gb + _GT - 1) // _GT) * _GT
-
-        blocks = dict(
-            np_phases=_slice_family(fam["np_phases"], idx, a_max),
-            np_params=_slice_family(fam["np_params"], idx, a_max),
-            np_counts=fam["np_counts"][:, idx],
-            hp_coeffs=_slice_family(fam["hp_coeffs"], idx, b_max),
-            hp_params=_slice_family(fam["hp_params"], idx, b_max),
-            pp_psi_c=_slice_family(fam["pp_psi_c"], idx, c_max),
-            pp_psi_p=_slice_family(fam["pp_psi_p"], idx, c_max),
-            pp_phi_c=_slice_family(fam["pp_phi_c"], idx, c_max),
-            pp_phi_p=_slice_family(fam["pp_phi_p"], idx, c_max),
-            qp_alpha=_slice_family(fam["qp_alpha"], idx, d_max),
-            qp_alpha_p=_slice_family(fam["qp_alpha_p"], idx, d_max),
-            qp_beta=_slice_family(fam["qp_beta"], idx, d_max),
-            qp_beta_p=_slice_family(fam["qp_beta_p"], idx, d_max),
-            qp_counts=fam["qp_counts"][:, idx],
-            pf_phase=fam["pf_phase"][:, idx],
-            pf_ff=fam["pf_ff"][:, idx],
-            pf_pow=fam["pf_pow"][:, idx],
-            pf_approx=fam["pf_approx"][:, idx],
-        )
-        # Pad graph axis to Gp and params axis to P.
-        for key, arr in blocks.items():
-            arr = _pad_to(arr, Gp, 1)
-            if arr.ndim == 3:
-                arr = _pad_to(arr, P, 2)
-            blocks[key] = arr
-        T1 = blocks["np_phases"].shape[0]
-        T2 = blocks["hp_coeffs"].shape[0]
-        T3 = blocks["pp_psi_c"].shape[0]
-        T4 = blocks["qp_alpha"].shape[0]
-        for k2, k3 in (
-            ("np_phases", "np_params"), ("hp_coeffs", "hp_params"),
-            ("pp_psi_c", "pp_psi_p"), ("pp_phi_c", "pp_phi_p"),
-            ("qp_alpha", "qp_alpha_p"), ("qp_beta", "qp_beta_p"),
-        ):
-            blocks[k2], blocks[k3] = _ensure_t(blocks[k2], blocks[k3], Gp, P)
-        T1, T2, T3, T4 = (max(t, 1) for t in (T1, T2, T3, T4))
-
-        dims = (T1, T2, T3, T4, _GT, Gp, bt)
-        out = _run_fused_bucket(blocks, dims, x, Bp, P, approx)
-        if approx:
-            partial_approx = out if partial_approx is None else partial_approx + out
-        else:
-            partials_exact.append(out)
-
-    if approx:
-        assert partial_approx is not None
-        result = jnp.sqrt(partial_approx[:, 0] ** 2 + partial_approx[:, 1] ** 2)
-        return result[:B]
-    out_c = jnp.concatenate([p[0] for p in partials_exact], axis=0)
-    out_p = jnp.concatenate([p[1] for p in partials_exact], axis=0)
     result = _combine_partials(out_c, out_p)
     return result[:B]
 

@@ -441,7 +441,7 @@ def pivot_matcher(g: ZXGraph) -> bool:
             continue
         if g.phase(u) not in (F0, F1):
             continue
-        if _has_gadget_leaf(g, u):
+        if _has_gadget_leaf(g, u) and g.degree(u) > 1:
             continue
         for v in list(g.neighbors(u)):
             if v not in g.types():
@@ -452,7 +452,9 @@ def pivot_matcher(g: ZXGraph) -> bool:
                 continue
             if g.edge_type((u, v)) != HADAMARD:
                 continue
-            if _has_gadget_leaf(g, v):
+            # A hub may only pivot against its own Pauli leaf (which removes
+            # the whole gadget); other hub pivots release leaves (churn).
+            if _has_gadget_leaf(g, v) and g.degree(u) != 1:
                 continue
             pivot(g, u, v)
             changed = True

@@ -165,7 +165,9 @@ def boundary_pivot_simp(g: ZXGraph) -> bool:
                 continue
             if g.edge_type((u, v)) != HADAMARD:
                 continue
-            if rules._has_gadget_leaf(g, v):
+            # A hub may pivot against its own Pauli leaf (consumes the
+            # gadget); other hub pivots release leaves (churn).
+            if rules._has_gadget_leaf(g, v) and g.degree(u) != 1:
                 continue
             bnd = [n for n in g.neighbors(v) if g.type(n) == BOUNDARY]
             if not bnd:
