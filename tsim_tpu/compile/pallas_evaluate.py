@@ -41,7 +41,8 @@ def _tiles() -> tuple[int, int, int]:
     compiles its XLA emulation in time proportional to tile area, so tiny
     tiles there (370s -> 5s per compile on a 1-core host)."""
     if jax.default_backend() == "tpu":
-        return _BT, _GT_MAX, 128
+        bt = int(os.environ.get("TSIM_TPU_BT", _BT))
+        return bt, _GT_MAX, 128
     return 8, 8, 8
 
 

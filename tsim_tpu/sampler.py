@@ -262,8 +262,13 @@ class _CompiledSamplerBase:
             seed = int(np.random.default_rng().integers(0, 2**30))
         self._key = jax.random.key(seed)
 
+        import time as _time
+
+        t0 = _time.perf_counter()
         prepared = prepare_graph(circuit, sample_detectors=sample_detectors)
+        t1 = _time.perf_counter()
         self._program = compile_program(prepared, mode=mode, strategy=strategy)
+        t2 = _time.perf_counter()
 
         channel_seed = int(np.random.default_rng(seed).integers(0, 2**30))
         self._channel_sampler = ChannelSampler(
@@ -271,6 +276,13 @@ class _CompiledSamplerBase:
             error_transform=prepared.error_transform,
             seed=channel_seed,
         )
+        # Per-phase compile timing (seconds), a la the reference's
+        # repr-as-dashboard (SURVEY.md section 5.1).
+        self.compile_stats = {
+            "prepare_s": round(t1 - t0, 3),
+            "decompose_s": round(t2 - t1, 3),
+            "channels_s": round(_time.perf_counter() - t2, 3),
+        }
 
         self._device_channels = DeviceChannelSampler(self._channel_sampler)
 
