@@ -92,6 +92,29 @@ def _k_omega(k):
     return tuple(jnp.where(km == j, sign, 0).astype(jnp.int32) for j in range(4))
 
 
+def _k_rot(acc, k):
+    """w^k * acc via coefficient rotation (selects, no integer multiplies).
+
+    (a0 + a1 w + a2 w^2 + a3 w^3) * w = -a3 + a0 w + a1 w^2 + a2 w^3, so
+    w^km is a cyclic shift with a sign on the wrapped coefficients, and the
+    k >> 2 bit is a global sign.
+    """
+    a0, a1, a2, a3 = acc
+    sign_neg = (k >> 2) == 1
+    km = k & 3
+    rows = (
+        (a0, -a3, -a2, -a1),
+        (a1, a0, -a3, -a2),
+        (a2, a1, a0, -a3),
+        (a3, a2, a1, a0),
+    )
+    out = []
+    for r in rows:
+        v = jnp.where(km == 0, r[0], jnp.where(km == 1, r[1], jnp.where(km == 2, r[2], r[3])))
+        out.append(jnp.where(sign_neg, -v, v))
+    return tuple(out)
+
+
 def _k_parities(params_ref, x_f32, T, Gt):
     """(Bt, T, Gt) int32 parities of params @ x^T mod 2 via one MXU dot."""
     # uint8 -> int32 -> float32: Mosaic lacks a direct uint8->f32 cast.
@@ -143,15 +166,13 @@ def _product_body(
         phases = np_phases_ref[...]
         for t in range(T1):
             idx = (phases[t][None, :] + 4 * par[:, t, :]) & 7
-            c = _k_omega(idx)
+            # acc * (1 + w^idx) = acc + rot_idx(acc): selects + adds only.
+            rot = _k_rot(acc, idx)
             live = (t < counts)
-            term = (
-                jnp.where(live, c[0] + 1, 1),
-                jnp.where(live, c[1], 0),
-                jnp.where(live, c[2], 0),
-                jnp.where(live, c[3], 0),
+            acc = tuple(
+                jnp.where(live, ai + ri, ai) for ai, ri in zip(acc, rot)
             )
-            acc, accp = _k_mul_acc(acc, accp, term, 0)
+            acc, accp = _k_reduce_step(acc, accp)
 
     # ---- half-pi phases: single w^(sum of coeffs*parity mod 8) factor
     if T2:
@@ -160,8 +181,7 @@ def _product_body(
         total = jnp.zeros((Bt, Gt), jnp.int32)
         for t in range(T2):
             total = total + coeffs[t][None, :] * par[:, t, :]
-        c = _k_omega(total & 7)
-        acc, accp = _k_mul_acc(acc, accp, c, 0)
+        acc = _k_rot(acc, total & 7)
 
     # ---- pi products: global sign (-1)^(sum psi*phi)
     if T3:
@@ -188,21 +208,17 @@ def _product_body(
             a = (alpha[t][None, :] + 4 * par_a[:, t, :]) & 7
             b = (beta[t][None, :] + 4 * par_b[:, t, :]) & 7
             g = (a + b) & 7
-            ca, cb, cg = _k_omega(a), _k_omega(b), _k_omega(g)
+            # acc * (1 + w^a + w^b - w^(a+b)): three rotations of acc.
+            ra, rb, rg = _k_rot(acc, a), _k_rot(acc, b), _k_rot(acc, g)
             live = (t < counts)
-            term = tuple(
-                jnp.where(
-                    live,
-                    ca[j] + cb[j] - cg[j] + (1 if j == 0 else 0),
-                    1 if j == 0 else 0,
-                )
-                for j in range(4)
+            acc = tuple(
+                jnp.where(live, ai + rai + rbi - rgi, ai)
+                for ai, rai, rbi, rgi in zip(acc, ra, rb, rg)
             )
-            acc, accp = _k_mul_acc(acc, accp, term, 0)
+            acc, accp = _k_reduce_step(acc, accp)
 
     # ---- static prefactor: w^phase * floatfactor * 2^power2
-    pf = _k_omega(pf_phase_ref[0][None, :] & 7)
-    acc, accp = _k_mul_acc(acc, accp, pf, 0)
+    acc = _k_rot(acc, pf_phase_ref[0][None, :] & 7)
     ff = tuple(pf_ff_ref[j][None, :] * jnp.ones((Bt, 1), jnp.int32) for j in range(4))
     acc, accp = _k_mul_acc(acc, accp, ff, 0)
     accp = accp + pf_pow_ref[0][None, :]

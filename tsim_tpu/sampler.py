@@ -130,10 +130,10 @@ def _device_run_fn(
 ):
     """One jit that samples noise AND runs every batch on device.
 
-    The per-batch alternative costs two tunnel round trips per batch on
-    remote TPU backends (h2d of host-sampled noise, d2h of samples); here a
-    single dispatch runs ``lax.map`` over per-batch RNG keys and returns all
-    samples in one transfer.
+    Takes ``(base_key, batch_index)`` and folds the per-batch noise and
+    sampling keys *inside* the jit: on remote TPU backends every eager key
+    op (split/index) is a tunnel round trip, which dominated the batch loop
+    before.
     """
     # Keyed on object identity; the cache entry keeps the keyed objects
     # alive, since a GC'd program's id could be reused and hand back a jit
@@ -143,13 +143,15 @@ def _device_run_fn(
     if entry is not None:
         return entry[0]
 
-    def one(kpair):
+    def one(base_key, idx):
         # No lax.map over batches: the Pallas evaluate kernel cannot
         # live inside a compiled loop on some TPU toolchains, and with
         # tile-streaming kernels a single batch can span ~1M shots
         # anyway. Multi-batch runs loop at the Python level.
-        f_params = device_channels.sample(kpair[0], batch_size)
-        out, dev = sample_program_with_deviation(program, f_params, kpair[1])
+        k_noise = jax.random.fold_in(base_key, 2 * idx)
+        k_sample = jax.random.fold_in(base_key, 2 * idx + 1)
+        f_params = device_channels.sample(k_noise, batch_size)
+        out, dev = sample_program_with_deviation(program, f_params, k_sample)
         # Bit-pack the sample bits on device (8x smaller d2h; remote
         # TPU tunnels move tens of MB/s). Gather-free: dot with powers
         # of two over output groups of 8.
@@ -416,28 +418,28 @@ class _CompiledSamplerBase:
         # Fully on-device batches: noise sampling + sampling ladder in one
         # jit per batch, dispatched asynchronously from a Python loop; one
         # final d2h per batch (device side is uint8 — TPU backends may not
-        # support bool transfers).
-        keys = jax.random.split(self._key, 2 * num_batches + 1)
-        self._key = keys[0]
-        kpairs = keys[1:].reshape(num_batches, 2)
+        # support bool transfers). Per-batch keys fold inside the jit; the
+        # only eager key op per call is this one split.
+        self._key, base_key = jax.random.split(self._key)
         runner = _device_run_fn(
             self._program, self._device_channels, num_batches, batch_size
         )
-        outs = []
-        devs = []
-        for bi in range(num_batches):
-            out_b, dev_b = runner(kpairs[bi])
-            outs.append(out_b)
-            devs.append(dev_b)
-        host = [np.asarray(jax.device_get(o)) for o in outs]
-        packed = host[0] if len(host) == 1 else np.concatenate(host, axis=0)
+        pending = [
+            runner(base_key, np.uint32(bi)) for bi in range(num_batches)
+        ]
+        # One device_get per batch fetching (samples, norm deviation)
+        # together: separate fetches cost a tunnel round trip each.
+        host = [jax.device_get(p) for p in pending]
+        packed_parts = [np.asarray(o) for o, _ in host]
+        packed = (
+            packed_parts[0]
+            if len(packed_parts) == 1
+            else np.concatenate(packed_parts, axis=0)
+        )
         result = np.unpackbits(packed, axis=1, bitorder="little")[
             :shots, : self._program.num_outputs
         ].view(np.bool_)
-        # Norm monitor: fold on host (eager device ops cost a round trip).
-        _check_norm_deviation(
-            np.max([np.asarray(jax.device_get(d)) for d in devs], axis=0)
-        )
+        _check_norm_deviation(np.max([np.asarray(d) for _, d in host], axis=0))
 
         if compute_reference:
             assert reference is not None
