@@ -577,7 +577,7 @@ class _CompiledSamplerBase:
                 total_bytes += sum(
                     v.nbytes
                     for v in jax.tree_util.tree_leaves(circ)
-                    if isinstance(v, jax.Array)
+                    if isinstance(v, (jax.Array, np.ndarray))
                 )
         error_bits = sum(ch.num_bits for ch in self._channel_sampler.channels)
 
