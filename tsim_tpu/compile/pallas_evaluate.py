@@ -194,8 +194,8 @@ def _product_body(
             psi = (psi_c[t][None, :] + par_psi[:, t, :]) & 1
             phi = (phi_c[t][None, :] + par_phi[:, t, :]) & 1
             expo = expo ^ (psi & phi)
-        neg = expo == 1
-        acc = tuple(jnp.where(neg, -ci, ci) for ci in acc)
+        sign = 1 - 2 * expo
+        acc = tuple(ci * sign for ci in acc)
 
     # ---- phase pairs: prod of (1 + w^a + w^b - w^(a+b)), masked by count
     if T4:
