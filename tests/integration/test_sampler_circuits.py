@@ -70,3 +70,13 @@ def test_clifford_detector_sampling_matches_frame_sampler():
     a, b = det.mean(axis=0), d2.mean(axis=0)
     z = np.abs(a - b) / (np.sqrt(b * (1 - b) / 40000 + a * (1 - a) / 40000) + 1e-9)
     assert z.max() < 4.5, (a, b)
+
+
+def test_surface_code_memory_x_deterministic():
+    from tsim_tpu.models.surface_code import generated
+
+    c = generated("surface_code:rotated_memory_x", distance=3, rounds=2)
+    det, obs = c.compile_detector_sampler(seed=0).sample(
+        500, batch_size=500, separate_observables=True
+    )
+    assert det.sum() == 0 and obs.sum() == 0

@@ -43,8 +43,14 @@ def rotated_surface_code_memory_z(
     before_round_data_depolarization: float = 0.0,
     before_measure_flip_probability: float = 0.0,
     after_reset_flip_probability: float = 0.0,
+    basis: str = "Z",
 ) -> Circuit:
-    """Memory-Z experiment: reset, ``rounds`` stabilizer rounds, data readout."""
+    """Memory experiment: reset, ``rounds`` stabilizer rounds, data readout.
+
+    ``basis="Z"`` (default) prepares/measures data in Z; ``basis="X"``
+    conjugates the whole experiment by transversal H (memory-X: |+> init,
+    X-basis readout, detectors on the X-type stabilizers, logical X).
+    """
     d = distance
     if d < 2 or rounds < 1:
         raise ValueError("distance >= 2 and rounds >= 1 required")
@@ -65,9 +71,15 @@ def rotated_surface_code_memory_z(
     all_anc = " ".join(str(n_data + a) for a in range(n_anc))
     x_anc_str = " ".join(str(x_anc[k]) for k in range(len(x_stabs)))
 
-    lines.append(f"R {all_data} {all_anc}")
+    if basis not in ("Z", "X"):
+        raise ValueError(f"basis must be 'Z' or 'X', got {basis!r}")
+    data_init = "R" if basis == "Z" else "RX"
+    lines.append(f"{data_init} {all_data}")
+    lines.append(f"R {all_anc}")
     if p_r:
-        lines.append(f"X_ERROR({p_r}) {all_data} {all_anc}")
+        err = "X_ERROR" if basis == "Z" else "Z_ERROR"
+        lines.append(f"{err}({p_r}) {all_data}")
+        lines.append(f"X_ERROR({p_r}) {all_anc}")
     lines.append("TICK")
 
     # Interaction schedule: each stabilizer touches its data qubits in a
@@ -105,16 +117,21 @@ def rotated_surface_code_memory_z(
         lines.append(f"MR {all_anc}")
         if p_r:
             lines.append(f"X_ERROR({p_r}) {all_anc}")
-        # Detectors: ancillas were measured in order z..., x...
+        # Detectors: ancillas were measured in order z..., x... In the
+        # first round only the init-basis stabilizers are deterministic.
         for k in range(len(z_stabs)):
             back = -(n_anc - k)
             if first:
-                lines.append(f"DETECTOR rec[{back}]")
+                if basis == "Z":
+                    lines.append(f"DETECTOR rec[{back}]")
             else:
                 lines.append(f"DETECTOR rec[{back}] rec[{back - n_anc}]")
-        if not first:
-            for k in range(len(x_stabs)):
-                back = -(len(x_stabs) - k)
+        for k in range(len(x_stabs)):
+            back = -(len(x_stabs) - k)
+            if first:
+                if basis == "X":
+                    lines.append(f"DETECTOR rec[{back}]")
+            else:
                 lines.append(f"DETECTOR rec[{back}] rec[{back - n_anc}]")
 
     _round(first=True)
@@ -122,15 +139,43 @@ def rotated_surface_code_memory_z(
         _round(first=False)
 
     if p_m:
-        lines.append(f"X_ERROR({p_m}) {all_data}")
-    lines.append(f"M {all_data}")
-    # Final Z-stabilizer detectors: data rec bits + last Z-ancilla rec.
-    for k, quad in enumerate(z_stabs):
+        err = "X_ERROR" if basis == "Z" else "Z_ERROR"
+        lines.append(f"{err}({p_m}) {all_data}")
+    lines.append(("M" if basis == "Z" else "MX") + f" {all_data}")
+    # Final detectors: init-basis stabilizer supports + last ancilla rec.
+    final_stabs = z_stabs if basis == "Z" else x_stabs
+    anc_of = (lambda k: k) if basis == "Z" else (lambda k: len(z_stabs) + k)
+    for k, quad in enumerate(final_stabs):
         recs = [-(n_data - data_index[q]) for q in quad]
-        anc_back = -(n_data + n_anc - k)
+        anc_back = -(n_data + n_anc - anc_of(k))
         recs_s = " ".join(f"rec[{r}]" for r in recs)
         lines.append(f"DETECTOR {recs_s} rec[{anc_back}]")
-    obs = " ".join(f"rec[{-(n_data - data_index[(0, j)])}]" for j in range(d))
+    if basis == "Z":
+        support = [(0, j) for j in range(d)]   # logical Z: top row
+    else:
+        support = [(i, 0) for i in range(d)]   # logical X: left column
+    obs = " ".join(f"rec[{-(n_data - data_index[q])}]" for q in support)
     lines.append(f"OBSERVABLE_INCLUDE(0) {obs}")
 
     return Circuit("\n".join(lines))
+
+
+def generated(name: str, **kwargs) -> Circuit:
+    """Stim-style generated-circuit interface.
+
+    Supports ``"surface_code:rotated_memory_z"`` and
+    ``"surface_code:rotated_memory_x"`` with the same noise keyword
+    arguments stim uses (reference workloads construct their benchmark
+    circuits through ``stim.Circuit.generated``).
+    """
+    table = {
+        "surface_code:rotated_memory_z": "Z",
+        "surface_code:rotated_memory_x": "X",
+    }
+    if name not in table:
+        raise ValueError(
+            f"Unsupported generated circuit {name!r}; supported: {sorted(table)}"
+        )
+    return rotated_surface_code_memory_z(
+        kwargs.pop("distance"), kwargs.pop("rounds"), basis=table[name], **kwargs
+    )
