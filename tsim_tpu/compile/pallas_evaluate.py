@@ -460,12 +460,44 @@ def evaluate_abs_fused(circuit: CompiledScalarGraphs, param_vals: Array) -> Arra
     exactly (Z[w]) or in complex float32 (approximate path).
     """
     B, P_in = param_vals.shape
-    G = circuit.num_graphs
     bt, gt_max, granule = _tiles()
     Bp = max(bt, ((B + bt - 1) // bt) * bt)
     P = max(P_in, 8)
     x = _pad_to(_pad_to(param_vals.astype(jnp.uint8), P, 1), Bp, 0)
     approx = bool(circuit.prefactor.has_approximate_floatfactors)
+
+    partials_exact: list[tuple[Array, Array]] = []
+    partial_approx = None
+    for blocks, dims in _prepared_buckets(circuit, P):
+        out = _run_fused_bucket(blocks, dims, x, Bp, P, approx)
+        if approx:
+            partial_approx = out if partial_approx is None else partial_approx + out
+        else:
+            partials_exact.append(out)
+
+    if approx:
+        assert partial_approx is not None
+        result = jnp.sqrt(partial_approx[:, 0] ** 2 + partial_approx[:, 1] ** 2)
+        return result[:B]
+    out_c = jnp.concatenate([p[0] for p in partials_exact], axis=0)
+    out_p = jnp.concatenate([p[1] for p in partials_exact], axis=0)
+    result = _combine_partials(out_c, out_p)
+    return result[:B]
+
+
+# Prepared bucket blocks are device_put once per (circuit, P): embedding
+# them as jit literals instead makes the lowered program carry the full
+# term tensors by value, which overflows remote-compile request limits for
+# large-G circuits (observed: HTTP 413 on a 16k-graph cultivation compile).
+_BLOCK_CACHE: dict = {}
+
+
+def _prepared_buckets(circuit: CompiledScalarGraphs, P: int):
+    cache_key = (id(circuit), P, jax.default_backend())
+    entry = _BLOCK_CACHE.get(cache_key)
+    if entry is not None and entry[0] is circuit:
+        return entry[1]
+    bt, gt_max, granule = _tiles()
 
     live = _live_counts(circuit)
     order = np.argsort(live, kind="stable")
@@ -495,8 +527,7 @@ def evaluate_abs_fused(circuit: CompiledScalarGraphs, param_vals: Array) -> Arra
         ).T,
     )
 
-    partials_exact: list[tuple[Array, Array]] = []
-    partial_approx = None
+    buckets = []
     lo = 0
     for hi in bounds:
         idx = order[lo:hi]
@@ -562,20 +593,11 @@ def evaluate_abs_fused(circuit: CompiledScalarGraphs, param_vals: Array) -> Arra
         T1, T2, T3, T4 = (max(t, 1) for t in (T1, T2, T3, T4))
 
         dims = (T1, T2, T3, T4, _GT, Gp, bt)
-        out = _run_fused_bucket(blocks, dims, x, Bp, P, approx)
-        if approx:
-            partial_approx = out if partial_approx is None else partial_approx + out
-        else:
-            partials_exact.append(out)
+        blocks = {k: jax.device_put(v) for k, v in blocks.items()}
+        buckets.append((blocks, dims))
 
-    if approx:
-        assert partial_approx is not None
-        result = jnp.sqrt(partial_approx[:, 0] ** 2 + partial_approx[:, 1] ** 2)
-        return result[:B]
-    out_c = jnp.concatenate([p[0] for p in partials_exact], axis=0)
-    out_p = jnp.concatenate([p[1] for p in partials_exact], axis=0)
-    result = _combine_partials(out_c, out_p)
-    return result[:B]
+    _BLOCK_CACHE[cache_key] = (circuit, buckets)
+    return buckets
 
 
 _FORCE = os.environ.get("TSIM_TPU_FUSED", "").strip()
