@@ -80,3 +80,16 @@ def test_steane_logical_observable_deterministic():
     m, dets, obs = FrameSampler(enc.circuit, seed=1).sample(256)
     assert obs.shape[1] == 1
     assert obs.all()  # logical X flips the logical Z outcome deterministically
+
+
+def test_all_diagram_types_render():
+    import tsim_tpu
+
+    c = tsim_tpu.Circuit("H 0\nTICK\nCNOT 0 1\nT 1\nTICK\nM 0 1\nDETECTOR rec[-1]")
+    for ty in ("timeline-svg", "timeslice-svg", "pyzx", "pyzx-dets", "pyzx-meas"):
+        svg = str(c.diagram(ty))
+        assert svg.startswith("<svg"), ty
+    import pytest
+
+    with pytest.raises(ValueError, match="Unknown diagram type"):
+        c.diagram("nope")

@@ -128,6 +128,77 @@ def render_timeline_svg(
     return Diagram("".join(parts))
 
 
+def render_timeslice_svg(
+    circuit,
+    *,
+    width: float | None = None,
+    height: float | None = None,
+) -> Diagram:
+    """One panel per TICK-delimited slice, qubits on a 2D-ish grid."""
+    flat = circuit.flattened() if hasattr(circuit, "flattened") else circuit
+    nq = max(flat.num_qubits, 1)
+    slices: list[list[tuple[CircuitInstruction, list[list[int]]]]] = [[]]
+    for instr in flat:
+        if isinstance(instr, CircuitRepeatBlock):
+            continue
+        if instr.name == "TICK":
+            slices.append([])
+            continue
+        groups = [
+            [t.value for t in grp if t.is_qubit_target or t.is_pauli_target]
+            for grp in instr.target_groups()
+        ]
+        slices[-1].append((instr, groups))
+    slices = [s for s in slices if s] or [[]]
+
+    row_h, panel_w, pad = 30, 190, 28
+    h = pad * 2 + row_h * nq
+    w = pad + (panel_w + pad) * len(slices)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width or w}" '
+        f'height="{height or h}" viewBox="0 0 {w} {h}" font-family="monospace">'
+    ]
+    for si, ops in enumerate(slices):
+        x0 = pad + si * (panel_w + pad)
+        parts.append(
+            f'<rect x="{x0}" y="{pad - 16}" width="{panel_w}" '
+            f'height="{h - 2 * pad + 24}" fill="none" stroke="#bbb"/>'
+            f'<text x="{x0 + 4}" y="{pad - 4}" font-size="10" '
+            f'fill="#777">tick {si}</text>'
+        )
+        for q in range(nq):
+            y = pad + q * row_h + row_h / 2
+            parts.append(
+                f'<text x="{x0 + 4}" y="{y + 3}" font-size="9" '
+                f'fill="#999">q{q}</text>'
+            )
+        col = 0
+        for instr, groups in ops:
+            label = _instr_label(instr)
+            if not any(groups):
+                continue
+            x = x0 + 34 + (col % 5) * 30
+            col += 1
+            for grp in groups:
+                if not grp:
+                    continue
+                ys = [pad + q * row_h + row_h / 2 for q in grp]
+                if len(ys) > 1:
+                    parts.append(
+                        f'<line x1="{x}" y1="{min(ys)}" x2="{x}" '
+                        f'y2="{max(ys)}" stroke="#333"/>'
+                    )
+                for y in ys:
+                    parts.append(
+                        f'<rect x="{x - 13}" y="{y - 9}" width="26" height="18" '
+                        f'fill="#fff" stroke="#333" rx="2"/>'
+                        f'<text x="{x}" y="{y + 3}" font-size="8" '
+                        f'text-anchor="middle">{html.escape(label[:4])}</text>'
+                    )
+    parts.append("</svg>")
+    return Diagram("".join(parts))
+
+
 def render_zx_svg(g) -> Diagram:
     """Simple SVG of a ZX graph (Z green, X red, boundary black)."""
     from ..zx.graph import BOUNDARY, HADAMARD, X, Z
@@ -182,8 +253,14 @@ def render_zx_svg(g) -> Diagram:
 
 def render_diagram(circuit, type: str = "timeline-svg", **kwargs):
     """Dispatch for Circuit.diagram (reference ``tsim/circuit.py:647``)."""
-    if type in ("timeline-svg", "timeslice-svg"):
+    if type == "timeline-svg":
         return render_timeline_svg(
+            circuit._stim_circ,
+            width=kwargs.get("width"),
+            height=kwargs.get("height"),
+        )
+    if type == "timeslice-svg":
+        return render_timeslice_svg(
             circuit._stim_circ,
             width=kwargs.get("width"),
             height=kwargs.get("height"),
