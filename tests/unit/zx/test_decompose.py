@@ -182,3 +182,46 @@ class TestDrivers:
         g.add_edge((v, out), HADAMARD)
         g.set_outputs([out])
         assert_sum_equiv(g, cut_vertex(g.copy(), v))
+
+
+class TestConjugateGadgetPair:
+    @pytest.mark.parametrize("seed", range(10))
+    def test_random_graphs(self, seed):
+        from tsim_tpu.zx.decompose import split_conjugate_gadget_pair
+
+        rng = np.random.default_rng(seed)
+        g = ZXGraph()
+        nS = int(rng.integers(1, 4))
+        S = [
+            g.add_vertex(Z, phase=[0, Fraction(1, 2), Fraction(1)][rng.integers(0, 3)])
+            for _ in range(nS)
+        ]
+        a = g.add_vertex(Z, phase=[0, Fraction(1, 2)][rng.integers(0, 2)])
+        b = g.add_vertex(Z, phase=[0, Fraction(3, 2)][rng.integers(0, 2)])
+        if seed % 4 == 0:
+            g.set_params(a, {PARAMS[0]})
+        alpha = [Fraction(1, 4), Fraction(3, 4), THETA][seed % 3]
+        P = frozenset({PARAMS[0]}) if seed % 3 == 0 else frozenset()
+        Q = frozenset({PARAMS[1]}) if seed % 2 == 0 else frozenset()
+        h1 = g.add_vertex(Z)
+        g.set_params(h1, Q)
+        h2 = g.add_vertex(Z)
+        g.set_params(h2, Q)
+        l1 = g.add_vertex(Z, phase=alpha)
+        g.set_params(l1, P)
+        l2 = g.add_vertex(Z, phase=(-alpha) % 2)
+        g.set_params(l2, P)
+        g.add_edge((l1, h1), HADAMARD)
+        g.add_edge((l2, h2), HADAMARD)
+        for t in S:
+            g.add_edge((h1, t), HADAMARD)
+            g.add_edge((h2, t), HADAMARD)
+        g.add_edge((h1, a), HADAMARD)
+        g.add_edge((h2, b), HADAMARD)
+        for u, v in itertools.combinations(S + [a, b], 2):
+            if rng.random() < 0.3:
+                g.add_edge((u, v), HADAMARD)
+        _add_boundaries(rng, g, S + [a, b])
+        assert_sum_equiv(
+            g, split_conjugate_gadget_pair(g.copy(), l1, h1, l2, h2, a, b)
+        )

@@ -110,6 +110,147 @@ def split_t_pair(g: ZXGraph, v1: int, v2: int) -> GraphSum:
     return GraphSum([gA, gB])
 
 
+def _anti_fuse(g: ZXGraph, a: int, b: int) -> None:
+    """Enforce ``x_b = NOT x_a`` and merge b into a (all-H spiders).
+
+    Each of b's H neighbors n picks up a pi (the (-1)^{x_n} from y = 1^x)
+    and re-attaches to a; b's own phase evaluates at 1 xor x_a: constant
+    e^{i pi phase(b)} and sign (-1)^{params(b)} go to the scalar, while the
+    x_a-dependence folds into a's phase/params.
+    """
+    from .rules import add_edge_resolve
+
+    g.scalar.add_phase(g.phase(b))
+    pb = g.get_params(b)
+    if pb:
+        g.scalar.add_pi_var(pb)
+    pending = [n for n in g.neighbors(b)]
+    phase_b = g.phase(b)
+    row_b, qubit_b = g.row(b), g.qubit(b)
+    g.remove_vertex(b)
+    for n in pending:
+        if n == a:
+            # (-1)^{x_a (1 xor x_a)} = 1: the edge drops, but its implicit
+            # 1/sqrt(2) stays.
+            g.scalar.add_power(-1)
+            continue
+        if g.type(n) == BOUNDARY:
+            # Splice the pi onto the wire (cannot phase a boundary).
+            w = g.add_vertex(
+                Z, qubit=qubit_b, row=(row_b + g.row(n)) / 2, phase=Fraction(1)
+            )
+            g.add_edge((w, n), SIMPLE)
+            add_edge_resolve(g, a, w, HADAMARD)
+            continue
+        g.add_to_phase(n, 1)
+        add_edge_resolve(g, a, n, HADAMARD)
+    g.add_to_phase(a, (-phase_b) % 2)
+    g.xor_params(a, pb)
+
+
+def split_conjugate_gadget_pair(
+    g: ZXGraph, l1: int, h1: int, l2: int, h2: int, a: int, b: int
+) -> GraphSum:
+    """3-term split of two conjugate phase gadgets whose targets differ by
+    exactly one vertex on each side (T1 = S + {a}, T2 = S + {b}).
+
+    With hub-summed gadget factors G_k = A_k + B_k (-1)^{sigma_k} and
+    conjugate leaves (A2 = conj(A1), B2 = conj(B1); equal leaf and hub
+    param sets), the [x_a = x_b] branch's cross terms cancel exactly
+    (Re(A1 conj(B1)) = 0), leaving:
+
+    * E:  fuse(a, b), scalar 4                         (gadgets vanish)
+    * O1: anti-fuse(a, b), scalar 4 cos(pi alpha) (-1)^P
+    * O2: anti-fuse(a, b), pi on S and a, scalar -4i sin(pi alpha)
+          (-1)^(P xor Q)
+
+    where P is the shared leaf param set and Q the shared hub param set.
+    Each branch removes both gadgets entirely (T-count -2) and adds no
+    residual structure. Oracle-verified in tests/unit/zx.
+    """
+    import math
+
+    alpha = g.phase(l1)
+    P = g.get_params(l1)
+    Q = g.get_params(h1)
+    S = (set(g.neighbors(h1)) - {l1, a}) & (set(g.neighbors(h2)) - {l2, b})
+    norm_power = -(g.degree(h1) + g.degree(h2)) + 4  # hubs' edges; the 4
+
+    def strip(gg):
+        gg.scalar.add_power(norm_power)
+        for v in (l1, l2, h1, h2):
+            gg.remove_vertex(v)
+
+    from .rules import _fuse_pair
+
+    gE = g.copy()
+    strip(gE)
+    if not gE.connected(a, b):
+        gE.add_edge((a, b), SIMPLE)
+        _fuse_pair(gE, a, b)
+    else:
+        # Existing H edge between a and b: adding the fusing simple edge
+        # goes through exact parallel-edge resolution.
+        from .rules import add_edge_resolve
+
+        add_edge_resolve(gE, a, b, SIMPLE)
+
+    gO = g.copy()
+    strip(gO)
+    _anti_fuse(gO, a, b)
+    gO1 = gO
+    gO2 = gO.copy()
+    gO1.scalar.mul_float(math.cos(math.pi * float(alpha)))
+    if P:
+        gO1.scalar.add_pi_var(P)
+    gO2.scalar.mul_float(-math.sin(math.pi * float(alpha)))
+    gO2.scalar.add_phase(Fraction(1, 2))  # the factor i
+    pq = frozenset(P) ^ frozenset(Q)
+    if pq:
+        gO2.scalar.add_pi_var(pq)
+    for t in S:
+        gO2.add_to_phase(t, 1)
+    gO2.add_to_phase(a, 1)
+    return GraphSum([gE, gO1, gO2])
+
+
+def _find_conjugate_gadget_pair(g: ZXGraph, ts: list[int]):
+    """(l1, h1, l2, h2, a, b) for conjugate gadgets with symdiff {a}, {b}."""
+    gadgets = []
+    for v in ts:
+        if g.degree(v) != 1 or not _all_h(g, v):
+            continue
+        (h,) = g.neighbors(v)
+        if g.type(h) != Z or g.phase(h) != 0 or not _all_h(g, h):
+            continue
+        gadgets.append((v, h, frozenset(g.neighbors(h)) - {v}))
+    for i, (l1, h1, t1) in enumerate(gadgets):
+        for l2, h2, t2 in gadgets[i + 1 :]:
+            if h1 == h2:
+                continue
+            if (g.phase(l1) + g.phase(l2)) % 2 != 0:
+                continue
+            if g.get_params(l1) != g.get_params(l2):
+                continue
+            if g.get_params(h1) != g.get_params(h2):
+                continue
+            d1 = t1 - t2
+            d2 = t2 - t1
+            if len(d1) != 1 or len(d2) != 1:
+                continue
+            (a,) = d1
+            (b,) = d2
+            special = {l1, h1, l2, h2}
+            if a in special or b in special or (t1 & t2) & special:
+                continue
+            if not (_all_h(g, a) and _all_h(g, b)):
+                continue
+            if g.type(a) != Z or g.type(b) != Z:
+                continue
+            return l1, h1, l2, h2, a, b
+    return None
+
+
 def _best_t_pair(g: ZXGraph, ts: list[int]) -> tuple[int, int]:
     """Pick the magic pair to split: prefer conjugate phases (doubled-diagram
     mirrors, whose equality branch cancels the magic) and shared targets.
@@ -144,6 +285,10 @@ def replace_magic_states(
         return GraphSum([g])
     if strategy == "cutting":
         return cut_vertex(g, ts[0])
+    if strategy == "cat5":
+        motif = _find_conjugate_gadget_pair(g, ts)
+        if motif is not None:
+            return split_conjugate_gadget_pair(g, *motif)
     if len(ts) >= 2:
         return split_t_pair(g, *_best_t_pair(g, ts))
     return cut_vertex(g, ts[0])
