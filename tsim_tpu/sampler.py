@@ -51,12 +51,6 @@ def _sample_component(
     max_norm_deviation = jnp.array(0.0)
 
     for i, circuit in enumerate(component.compiled_scalar_graphs[1:]):
-        # Keep ladder steps sequential in the XLA schedule: without this,
-        # the intermediates of every unrolled evaluate coexist and peak HBM
-        # scales with the ladder length.
-        f_selected, m_accumulated, prev = jax.lax.optimization_barrier(
-            (f_selected, m_accumulated, prev)
-        )
         params = jnp.hstack([f_selected, m_accumulated[:, :i], ones])
         check_row = jnp.hstack([f_selected[:1], m_accumulated[:1, :i], zero])
         probs = evaluate_abs(circuit, jnp.vstack([params, check_row]))
