@@ -25,7 +25,7 @@ import numpy as np
 from jax import Array, lax
 from jax.experimental import pallas as pl
 
-from ..core.exact_scalar import ExactScalarArray, _add_with_power
+from ..core.exact_scalar import ExactScalarArray
 from .compile import CompiledScalarGraphs
 from .evaluate import evaluate_abs as _evaluate_abs_xla
 from .evaluate import _anchor, _coeffs_to_real_imag
