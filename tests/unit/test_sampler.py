@@ -128,3 +128,20 @@ def test_negative_shots(bell_sampler):
         bell_sampler.sample(-1)
     with pytest.raises(ValueError, match="at least 1"):
         bell_sampler.sample(10, batch_size=0)
+
+
+def test_norm_deviation_warns_and_raises():
+    import warnings
+
+    import tsim_tpu.sampler as S
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        S._check_norm_deviation(np.array([5e-4]))
+        assert any("normalized correctly" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        S._check_norm_deviation(np.array([1e-9]))
+        assert not w
+    with pytest.raises(ValueError, match="underflow"):
+        S._check_norm_deviation(np.array([1.0]))
