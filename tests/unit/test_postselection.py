@@ -121,10 +121,10 @@ def test_direct_cols_always_populated():
 def test_quantum_evaluator_skipped_for_direct_discards(monkeypatch):
     s = _sampler(seed=7)
     batches = []
-    orig = sampler_mod._program_runner
+    orig = sampler_mod._program_runner_hoisted
 
-    def spy(program):
-        fn = orig(program)
+    def spy(program, example_f):
+        fn = orig(program, example_f)
 
         def wrapped(f_params, key):
             batches.append(f_params.shape[0])
@@ -132,7 +132,7 @@ def test_quantum_evaluator_skipped_for_direct_discards(monkeypatch):
 
         return wrapped
 
-    monkeypatch.setattr(sampler_mod, "_program_runner", spy)
+    monkeypatch.setattr(sampler_mod, "_program_runner_hoisted", spy)
     shots = 2000
     det = s.sample(shots, batch_size=500, postselection_mask=_mask(0))
     # Roughly 30% of shots discard before ever reaching the evaluator, and
@@ -153,10 +153,11 @@ def test_non_direct_mask_entry_is_ignored_for_prefilter():
 
 # ------------------------------------------------------- fully direct path
 def test_fully_direct_no_quantum(monkeypatch):
-    def boom(program):
+    def boom(program, *a):
         raise AssertionError("quantum evaluator must not run")
 
     monkeypatch.setattr(sampler_mod, "_program_runner", boom)
+    monkeypatch.setattr(sampler_mod, "_program_runner_hoisted", boom)
     s = _sampler(DIRECT_ONLY, seed=9)
     det = s.sample(3000, batch_size=512, postselection_mask=_mask(0))
     assert abs(det[:, 0].mean() - 0.3) < 0.05

@@ -145,3 +145,23 @@ def test_norm_deviation_warns_and_raises():
         assert not w
     with pytest.raises(ValueError, match="underflow"):
         S._check_norm_deviation(np.array([1.0]))
+
+
+def test_native_direct_path_statistics(monkeypatch):
+    """Fully-direct Clifford circuits ride the native frame sampler."""
+    monkeypatch.setenv("TSIM_TPU_NATIVE_DIRECT", "1")
+    from tsim_tpu.models.surface_code import rotated_surface_code_memory_z
+
+    c = rotated_surface_code_memory_z(
+        3, 3, after_clifford_depolarization=0.02,
+        before_measure_flip_probability=0.02,
+    )
+    s = c.compile_detector_sampler(seed=11)
+    assert s._native_frame_sampler() is not None
+    det, obs = s.sample(40000, separate_observables=True)
+    monkeypatch.delenv("TSIM_TPU_NATIVE_DIRECT")
+    s2 = c.compile_detector_sampler(seed=12)
+    det2, obs2 = s2.sample(40000, separate_observables=True)
+    a, b = det.mean(axis=0), det2.mean(axis=0)
+    sig = np.sqrt(a * (1 - a) / 4e4 + b * (1 - b) / 4e4) + 1e-9
+    assert (np.abs(a - b) / sig).max() < 5.5, (a, b)

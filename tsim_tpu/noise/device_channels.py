@@ -47,6 +47,28 @@ class DeviceChannelSampler:
             patterns[ci, : len(probs)] = bits @ sig[ids] % 2
         self.cdf = cdf
         self.patterns = patterns
+        # device_put once: embedding these as jit literals bloats the
+        # lowered program (MBs of constants for surface-code-sized channel
+        # sets) past remote-compile request limits.
+        self._cdf_dev = jax.device_put(cdf)
+        self._pat_dev = jax.device_put(
+            patterns.reshape(len(live) * max_o, self.num_f).astype(np.float32)
+        )
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_cdf_dev", None)
+        state.pop("_pat_dev", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if self.num_channels:
+            C, O = self.cdf.shape
+            self._cdf_dev = jax.device_put(self.cdf)
+            self._pat_dev = jax.device_put(
+                self.patterns.reshape(C * O, self.num_f).astype(np.float32)
+            )
 
     def sample(self, key: jax.Array, batch: int) -> jax.Array:
         """Draw (batch, num_f) uint8 noise configurations (traceable)."""
@@ -56,11 +78,10 @@ class DeviceChannelSampler:
         u = jax.random.uniform(key, (batch, C), dtype=jnp.float32)
         # outcome one-hot via CDF bracketing: onehot[b,c,j] = 1 iff
         # cdf[j-1] <= u < cdf[j].
-        below = u[:, :, None] < self.cdf[None, :, :]
+        below = u[:, :, None] < self._cdf_dev[None, :, :]
         prev = jnp.concatenate(
             [jnp.zeros((batch, C, 1), bool), below[:, :, :-1]], axis=2
         )
         onehot = (below & ~prev).astype(jnp.float32)  # (B, C, O)
-        pat = self.patterns.reshape(C * O, self.num_f).astype(np.float32)
-        counts = onehot.reshape(batch, C * O) @ pat  # (B, F)
+        counts = onehot.reshape(batch, C * O) @ self._pat_dev  # (B, F)
         return (counts % 2).astype(jnp.uint8)

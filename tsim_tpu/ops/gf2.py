@@ -78,15 +78,22 @@ def find_basis(vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def static_take_columns(x: Array, idx) -> Array:
-    """Column selection with STATIC indices via slice+concat (gather-free).
+    """Column selection with STATIC indices, gather-free.
 
-    Dynamic gathers are unimplemented on some TPU backends; for the static
-    index arrays used throughout the sampler this compiles to pure slices.
+    Dynamic gathers are unimplemented on some TPU backends. Narrow
+    selections compile to slices + one concat; wide ones (hundreds of
+    columns, e.g. surface-code direct detectors) use a one-hot f32 matmul —
+    one MXU op instead of a program-bloating concat of single-column
+    slices.
     """
     idx = [int(i) for i in np.asarray(idx).ravel()]
     if not idx:
         return x[:, :0]
-    return jnp.concatenate([x[:, i : i + 1] for i in idx], axis=1)
+    if len(idx) <= 32:
+        return jnp.concatenate([x[:, i : i + 1] for i in idx], axis=1)
+    sel = np.zeros((x.shape[1], len(idx)), dtype=np.float32)
+    sel[idx, np.arange(len(idx))] = 1.0
+    return (x.astype(jnp.float32) @ sel).astype(x.dtype)
 
 
 def matmul_gf2(a: Array, b: Array) -> Array:

@@ -157,9 +157,24 @@ def _device_run_fn(
         packed = out.reshape(batch_size, n8, 8).astype(jnp.float32) @ powers
         return packed.astype(jnp.uint8), dev
 
-    fn = jax.jit(one)
+    fn = _hoisted_jit(one, jax.random.key(0), np.uint32(0))
     _DEVICE_RUNNERS[cache_key] = (fn, program, device_channels)
     return fn
+
+
+def _hoisted_jit(f, *example_args):
+    """jit(f) with closed-over arrays hoisted into runtime arguments.
+
+    Closed-over numpy/device arrays lower as inline MLIR constants, which
+    bloats remote-compile requests past their size limit for big compiled
+    tensors (channel tables, term tensors). ``jax.closure_convert``
+    extracts them as explicit arguments; they transfer once via device_put
+    and bind at call time.
+    """
+    converted, consts = jax.closure_convert(f, *example_args)
+    consts = [jax.device_put(c) for c in consts]
+    jitted = jax.jit(converted)
+    return lambda *args: jitted(*args, *consts)
 
 
 def _program_runner(program: CompiledProgram):
@@ -175,6 +190,21 @@ def _program_runner(program: CompiledProgram):
         return entry[0]
     fn = jax.jit(
         lambda f_params, k: sample_program_with_deviation(program, f_params, k)
+    )
+    _PROGRAM_RUNNERS[key] = (fn, program)
+    return fn
+
+
+def _program_runner_hoisted(program: CompiledProgram, example_f):
+    """Hoisted-constant variant keyed additionally on the f shape."""
+    key = (id(program), example_f.shape, "hoisted")
+    entry = _PROGRAM_RUNNERS.get(key)
+    if entry is not None:
+        return entry[0]
+    fn = _hoisted_jit(
+        lambda f_params, k: sample_program_with_deviation(program, f_params, k),
+        example_f,
+        jax.random.key(0),
     )
     _PROGRAM_RUNNERS[key] = (fn, program)
     return fn
@@ -218,8 +248,10 @@ class _CompiledSamplerBase:
     # ------------------------------------------------------- checkpointing
     def __getstate__(self):
         state = dict(self.__dict__)
-        # jax PRNG keys don't pickle; store raw key data.
+        # jax PRNG keys don't pickle; store raw key data. The native frame
+        # sampler holds a ctypes handle: rebuilt lazily after load.
         state["_key"] = np.asarray(jax.random.key_data(self._key))
+        state["_native_frame"] = None
         return state
 
     def __setstate__(self, state):
@@ -284,6 +316,11 @@ class _CompiledSamplerBase:
 
         self.circuit = circuit
         self._num_detectors = prepared.num_detectors
+        self._sample_detectors = sample_detectors
+        self._native_frame = None
+        self._native_frame_seed = int(
+            np.random.default_rng(seed + 1).integers(0, 2**30)
+        )
 
         prog = self._program
         self._direct_f_indices = np.asarray(prog.direct_f_indices)
@@ -330,13 +367,19 @@ class _CompiledSamplerBase:
         if not self._program.components:
             return self._compute_direct_outputs(f_ref)[0]
         self._key, subkey = jax.random.split(self._key)
-        out, dev = _program_runner(self._program)(jnp.asarray(f_ref), subkey)
+        f_ref_dev = jnp.asarray(f_ref)
+        out, dev = _program_runner_hoisted(self._program, f_ref_dev)(f_ref_dev, subkey)
         _check_norm_deviation(dev)
         return np.asarray(jax.device_get(out)).view(np.bool_)[0]
 
     # -------------------------------------------------------------- batching
     def _peak_bytes_per_sample(self) -> int:
-        peak = 0
+        # Noise configurations (B, num_f) uint8 plus working copies, and the
+        # on-device channel sampler's (B, C, O) one-hot intermediates.
+        peak = 8 * self._channel_sampler.signature_matrix.shape[1]
+        if self._device_channels.num_channels:
+            c, o = self._device_channels.cdf.shape
+            peak = max(peak, 6 * c * o)
         for component in self._program.components:
             for circuit in component.compiled_scalar_graphs:
                 G = circuit.num_graphs
@@ -393,6 +436,30 @@ class _CompiledSamplerBase:
             return empty
 
         if not self._program.components:
+            # Fully-direct programs: no quantum evaluation at all. Clifford
+            # circuits ride the native C++ Pauli-frame sampler (bit-packed,
+            # ~10M shots/s); the host geometric-skip path remains the CPU
+            # default so cross-path determinism tests stay seed-stable.
+            import os as _os
+
+            use_native = (
+                jax.default_backend() != "cpu"
+                or _os.environ.get("TSIM_TPU_NATIVE_DIRECT") == "1"
+            )
+            if use_native:
+                native = self._native_frame_sampler()
+                if native is not None:
+                    rec, dets, obs = native.sample(
+                        shots, include_measurements=not self._sample_detectors
+                    )
+                    samples = (
+                        np.concatenate([dets, obs], axis=1)
+                        if self._sample_detectors
+                        else rec
+                    )
+                    if compute_reference:
+                        return samples, self._compute_reference_sample()
+                    return samples
             samples = self._sample_direct(shots)
             if compute_reference:
                 return samples, self._compute_reference_sample()
@@ -489,7 +556,8 @@ class _CompiledSamplerBase:
 
         def _dispatch(f_batch, indices, n_valid):
             self._key, subkey = jax.random.split(self._key)
-            out_dev, dev = _program_runner(self._program)(jnp.asarray(f_batch), subkey)
+            f_dev = jnp.asarray(f_batch)
+            out_dev, dev = _program_runner_hoisted(self._program, f_dev)(f_dev, subkey)
             _check_norm_deviation(dev)
             out = np.asarray(jax.device_get(out_dev)).view(np.bool_)
             result[indices[:n_valid]] = out[:n_valid]
@@ -543,6 +611,22 @@ class _CompiledSamplerBase:
             assert reference is not None
             return result, reference, was_discarded
         return result, None, was_discarded
+
+    def _native_frame_sampler(self):
+        """Native C++ Pauli-frame sampler for fully-direct Clifford circuits."""
+        if self._native_frame is not None:
+            return self._native_frame
+        try:
+            if not self.circuit.is_clifford:
+                return None
+            from .stim_core.native_frame import NativeFrameSampler
+
+            self._native_frame = NativeFrameSampler(
+                self.circuit.stim_circuit, seed=self._native_frame_seed
+            )
+        except Exception:
+            return None
+        return self._native_frame
 
     def _sample_direct(self, shots: int) -> np.ndarray:
         f_params = self._channel_sampler.sample(shots)

@@ -260,11 +260,20 @@ class NativeFrameSampler:
                _PAULI_MASK[pl] | (ref_bit << 2))
 
     # -------------------------------------------------------------- sample
-    def sample(self, shots: int, *, bit_packed: bool = False):
+    def sample(
+        self,
+        shots: int,
+        *,
+        bit_packed: bool = False,
+        include_measurements: bool = True,
+    ):
         """Returns (measurements, detectors, observables).
 
         Bool arrays of shape (shots, n); with ``bit_packed`` the packed
         uint8 little-endian rows (shots, ceil(n/8)) are returned instead.
+        ``include_measurements=False`` skips the measurement-record
+        transpose/unpack (the dominant cost for detector sampling) and
+        returns ``None`` in its slot.
         """
         W = (shots + 63) >> 6
         rec = np.zeros((max(self.num_meas, 1), W), dtype=np.uint64)
@@ -282,7 +291,9 @@ class NativeFrameSampler:
             obs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         )
         return (
-            self._unpack(rec, self.num_meas, shots, bit_packed),
+            self._unpack(rec, self.num_meas, shots, bit_packed)
+            if include_measurements
+            else None,
             self._unpack(dets, self.num_det, shots, bit_packed),
             self._unpack(obs, self.num_obs, shots, bit_packed),
         )
