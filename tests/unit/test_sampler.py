@@ -165,3 +165,19 @@ def test_native_direct_path_statistics(monkeypatch):
     a, b = det.mean(axis=0), det2.mean(axis=0)
     sig = np.sqrt(a * (1 - a) / 4e4 + b * (1 - b) / 4e4) + 1e-9
     assert (np.abs(a - b) / sig).max() < 5.5, (a, b)
+
+
+def test_native_direct_deterministic_one_detector(monkeypatch):
+    """Frame-sampler flips are converted to absolute detector values."""
+    monkeypatch.setenv("TSIM_TPU_NATIVE_DIRECT", "1")
+    c = tsim_tpu.Circuit(
+        "R 0\nX 0\nX_ERROR(0.25) 0\nM 0\nDETECTOR rec[-1]\n"
+        "OBSERVABLE_INCLUDE(0) rec[-1]"
+    )
+    s = c.compile_detector_sampler(seed=2)
+    assert s._native_frame_sampler() is not None
+    det, obs = s.sample(4000, separate_observables=True)
+    assert abs(det.mean() - 0.75) < 0.04
+    assert abs(obs.mean() - 0.75) < 0.04
+    packed = s.sample(4000, bit_packed=True)
+    assert abs(np.unpackbits(packed, axis=1, bitorder="little")[:, 0].mean() - 0.75) < 0.04

@@ -452,11 +452,11 @@ class _CompiledSamplerBase:
                     rec, dets, obs = native.sample(
                         shots, include_measurements=not self._sample_detectors
                     )
-                    samples = (
-                        np.concatenate([dets, obs], axis=1)
-                        if self._sample_detectors
-                        else rec
-                    )
+                    if self._sample_detectors:
+                        samples = np.concatenate([dets, obs], axis=1)
+                        samples ^= self._native_baseline()
+                    else:
+                        samples = rec
                     if compute_reference:
                         return samples, self._compute_reference_sample()
                     return samples
@@ -612,6 +612,13 @@ class _CompiledSamplerBase:
             return result, reference, was_discarded
         return result, None, was_discarded
 
+    def _native_baseline(self) -> np.ndarray:
+        """Deterministic noiseless outputs: the frame sampler returns
+        detector/observable FLIPS (stim-style); XOR with this baseline gives
+        the absolute values the ZX path produces."""
+        num_f = self._channel_sampler.signature_matrix.shape[1]
+        return self._compute_direct_outputs(np.zeros((1, num_f), np.uint8))[0]
+
     def _native_frame_sampler(self):
         """Native C++ Pauli-frame sampler for fully-direct Clifford circuits."""
         if self._native_frame is not None:
@@ -724,6 +731,55 @@ class CompiledDetectorSampler(_CompiledSamplerBase):
         compute_reference = (
             use_detector_reference_sample or use_observable_reference_sample
         )
+
+        # Fully-direct Clifford fast path: fetch detectors/observables from
+        # the native frame sampler in their final (possibly bit-packed)
+        # layout, skipping the unpack + repack round trip.
+        import os as _os
+
+        if (
+            postselection_mask is None
+            and not compute_reference
+            and not prepend_observables
+            and not self._program.components
+            and (
+                jax.default_backend() != "cpu"
+                or _os.environ.get("TSIM_TPU_NATIVE_DIRECT") == "1"
+            )
+        ):
+            native = self._native_frame_sampler()
+            if native is not None:
+                _, det, obs = native.sample(
+                    shots, bit_packed=bit_packed, include_measurements=False
+                )
+                base = self._native_baseline()
+                det_ref = base[: self._num_detectors]
+                obs_ref = base[self._num_detectors :]
+                if bit_packed:
+                    det ^= np.packbits(det_ref, bitorder="little")
+                    obs ^= np.packbits(obs_ref, bitorder="little")
+                else:
+                    det ^= det_ref
+                    obs ^= obs_ref
+                if separate_observables:
+                    return det, obs
+                if append_observables:
+                    if bit_packed:
+                        joined = np.concatenate(
+                            [
+                                np.unpackbits(det, axis=1, bitorder="little")[
+                                    :, : self._num_detectors
+                                ],
+                                np.unpackbits(obs, axis=1, bitorder="little")[
+                                    :, : self._program.num_outputs
+                                    - self._num_detectors
+                                ],
+                            ],
+                            axis=1,
+                        ).astype(bool)
+                        return _maybe_bit_pack(joined, bit_packed=True)
+                    return np.concatenate([det, obs], axis=1)
+                return det
 
         if postselection_mask is not None:
             mask = np.asarray(postselection_mask, dtype=np.bool_)
