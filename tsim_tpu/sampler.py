@@ -453,8 +453,8 @@ class _CompiledSamplerBase:
                         shots, include_measurements=not self._sample_detectors
                     )
                     if self._sample_detectors:
+                        dets = dets ^ self._native_baseline()
                         samples = np.concatenate([dets, obs], axis=1)
-                        samples ^= self._native_baseline()
                     else:
                         samples = rec
                     if compute_reference:
@@ -613,11 +613,13 @@ class _CompiledSamplerBase:
         return result, None, was_discarded
 
     def _native_baseline(self) -> np.ndarray:
-        """Deterministic noiseless outputs: the frame sampler returns
-        detector/observable FLIPS (stim-style); XOR with this baseline gives
-        the absolute values the ZX path produces."""
+        """Deterministic noiseless DETECTOR outputs: the frame sampler
+        returns stim-style detector flips (observables it already reports
+        absolutely, via the absolute measurement record); XOR with this
+        baseline gives the absolute detector values the ZX path produces."""
         num_f = self._channel_sampler.signature_matrix.shape[1]
-        return self._compute_direct_outputs(np.zeros((1, num_f), np.uint8))[0]
+        base = self._compute_direct_outputs(np.zeros((1, num_f), np.uint8))[0]
+        return base[: self._num_detectors]
 
     def _native_frame_sampler(self):
         """Native C++ Pauli-frame sampler for fully-direct Clifford circuits."""
@@ -752,15 +754,11 @@ class CompiledDetectorSampler(_CompiledSamplerBase):
                 _, det, obs = native.sample(
                     shots, bit_packed=bit_packed, include_measurements=False
                 )
-                base = self._native_baseline()
-                det_ref = base[: self._num_detectors]
-                obs_ref = base[self._num_detectors :]
+                det_ref = self._native_baseline()
                 if bit_packed:
-                    det ^= np.packbits(det_ref, bitorder="little")
-                    obs ^= np.packbits(obs_ref, bitorder="little")
+                    det = det ^ np.packbits(det_ref, bitorder="little")
                 else:
-                    det ^= det_ref
-                    obs ^= obs_ref
+                    det = det ^ det_ref
                 if separate_observables:
                     return det, obs
                 if append_observables:
