@@ -27,7 +27,11 @@ class TestParametricTag:
     def test_rz_tag(self):
         gate, params = parse_parametric_tag(_instr("I[R_Z(theta=0.3*pi)] 0"))
         assert gate == "R_Z"
-        assert params == {"theta": Fraction(3, 10)}
+        # Non-dyadic angles canonicalize to the nearest 2^-40 dyadic
+        # (exact Fraction arithmetic downstream stays int64-bounded).
+        theta = params["theta"]
+        assert abs(theta - Fraction(3, 10)) <= Fraction(1, 2**40)
+        assert theta.denominator & (theta.denominator - 1) == 0
 
     def test_u3_tag_all_params(self):
         gate, params = parse_parametric_tag(
@@ -42,7 +46,7 @@ class TestParametricTag:
 
     def test_scientific_notation(self):
         _, params = parse_parametric_tag(_instr("I[R_X(theta=1e-3*pi)] 0"))
-        assert params["theta"] == Fraction("0.001")
+        assert abs(params["theta"] - Fraction("0.001")) <= Fraction(1, 2**40)
 
     def test_negative_angle(self):
         _, params = parse_parametric_tag(_instr("I[R_Y(theta=-.75*pi)] 0"))

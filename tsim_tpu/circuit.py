@@ -19,6 +19,7 @@ from .utils.clifford import expand_clifford_rotations, is_clifford
 from .utils.program_text import (
     controlled_gate_decomposition_lines,
     enriched_stim_error,
+    format_angle,
     shorthand_to_stim,
     stim_to_shorthand,
 )
@@ -304,18 +305,18 @@ class Circuit:
                         targets = [t.value for t in instr.targets_copy()]
                         if gate_name == "U3":
                             # U3(t, p, l)^-1 = U3(-t, -l, -p)
-                            theta = float(-params["theta"])
-                            phi = float(-params["lambda"])
-                            lam = float(-params["phi"])
+                            theta = format_angle(-params["theta"])
+                            phi = format_angle(-params["lambda"])
+                            lam = format_angle(-params["phi"])
                             new_tag = f"U3(theta={theta}*pi, phi={phi}*pi, lambda={lam}*pi)"
                         else:
-                            new_tag = f"{gate_name}(theta={float(-params['theta'])}*pi)"
+                            new_tag = f"{gate_name}(theta={format_angle(-params['theta'])}*pi)"
                         result.append("I", targets, instr.gate_args_copy() or None, tag=new_tag)
                         continue
                 if instr.name in ("SPP", "SPP_DAG") and instr.tag:
                     parsed = parse_parametric_tag(instr)
                     if parsed is not None and parsed[0] == "R_PAULI":
-                        new_tag = f"R_PAULI(theta={float(-parsed[1]['theta'])}*pi)"
+                        new_tag = f"R_PAULI(theta={format_angle(-parsed[1]['theta'])}*pi)"
                         # Name already flipped by stim inverse; flip back and
                         # negate the angle instead.
                         flipped = "SPP" if instr.name == "SPP_DAG" else "SPP_DAG"

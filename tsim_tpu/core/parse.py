@@ -45,6 +45,26 @@ _PARAMETRIC_GATE_PARAMS: dict[str, frozenset[str]] = {
 
 R_PAULI_MAX_QUBITS = 64
 
+# Non-dyadic angles (decimal strings like 0.3*pi parse to denominator 10^16)
+# are canonicalized to the nearest 2^-40 dyadic at the parser chokepoint.
+# Clifford/T angles (denominator 1, 2, 4, 8...) are exactly representable and
+# untouched; arbitrary angles are evaluated in double precision downstream
+# (stabilizer decomposition pulls them out as float cos/sin factors), so the
+# ~1e-12 rounding is far below sampling precision. Keeping every phase
+# dyadic bounds Fraction arithmetic (sums take the max denominator instead
+# of the lcm product, which grew to >100-bit integers with decimal inputs)
+# and keeps the native ZX engine's int64 fractions exact.
+_ANGLE_DEN_BITS = 40
+
+
+def canonical_angle(f: Fraction) -> Fraction:
+    den = f.denominator
+    if den & (den - 1) == 0 and den.bit_length() <= _ANGLE_DEN_BITS + 1:
+        return f
+    scale = 1 << _ANGLE_DEN_BITS
+    return Fraction(round(f * scale), scale)
+
+
 _TAG_RE = re.compile(r"^(\w+)\((.*)\)$")
 _PARAM_RE = re.compile(r"^(\w+)=([-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)\*pi$")
 
@@ -67,7 +87,7 @@ def parse_parametric_tag(
         pm = _PARAM_RE.match(param)
         if not pm:
             raise ValueError(f"{err_prefix}. Malformed parametric tag {tag!r}")
-        params[pm.group(1)] = Fraction(pm.group(2))
+        params[pm.group(1)] = canonical_angle(Fraction(pm.group(2)))
     expected = _PARAMETRIC_GATE_PARAMS.get(gate_name)
     if expected is None:
         raise ValueError(f"{err_prefix}. Unknown parametric gate {gate_name!r}")

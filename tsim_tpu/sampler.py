@@ -167,14 +167,30 @@ def _hoisted_jit(f, *example_args):
 
     Closed-over numpy/device arrays lower as inline MLIR constants, which
     bloats remote-compile requests past their size limit for big compiled
-    tensors (channel tables, term tensors). ``jax.closure_convert``
-    extracts them as explicit arguments; they transfer once via device_put
-    and bind at call time.
+    tensors (channel tables, term tensors): the full cultivation ladder
+    lowered to a 638 MB StableHLO module and the remote compile endpoint
+    rejected it with HTTP 413. (``jax.closure_convert`` does NOT help: it
+    only extracts closed-over *tracers* of an outer in-progress trace;
+    concrete arrays stay baked in — measured 0 extracted consts.)
+
+    The reliable mechanism: trace once with ``make_jaxpr`` — the resulting
+    ClosedJaxpr's ``consts`` are exactly the closed-over arrays — then
+    ``eval_jaxpr`` inside a jit that receives those consts as runtime
+    arguments, so they lower as parameters and transfer once via
+    device_put.
     """
-    converted, consts = jax.closure_convert(f, *example_args)
-    consts = [jax.device_put(c) for c in consts]
-    jitted = jax.jit(converted)
-    return lambda *args: jitted(*args, *consts)
+    closed, out_shape = jax.make_jaxpr(f, return_shape=True)(*example_args)
+    out_tree = jax.tree_util.tree_structure(out_shape)
+    consts = [jax.device_put(c) for c in closed.consts]
+    jaxpr = closed.jaxpr
+
+    @jax.jit
+    def call(consts, *args):
+        flat_args = jax.tree_util.tree_leaves(args)
+        out = jax.core.eval_jaxpr(jaxpr, consts, *flat_args)
+        return jax.tree_util.tree_unflatten(out_tree, out)
+
+    return lambda *args: call(consts, *args)
 
 
 def _program_runner(program: CompiledProgram):

@@ -109,6 +109,18 @@ def enriched_stim_error(exc: ValueError, converted_text: str) -> ValueError:
     return ValueError(f"Could not parse '{usage.group()}' in program text.")
 
 
+def format_angle(x) -> str:
+    """Display form of an angle (units of pi) parsed into a canonical dyadic.
+
+    Angles canonicalize to 2^-40 resolution at parse time
+    (``core.parse.canonical_angle``); 12 significant digits collapse the
+    dyadic back to the user's decimal (0.300000000000182 -> "0.3"), and
+    re-parsing the display form recovers the identical canonical dyadic for
+    any user input with at most 12 significant digits.
+    """
+    return f"{float(x):.12g}"
+
+
 def shorthand_to_stim(text: str) -> str:
     """Convert tsim shorthand to valid Stim-dialect instructions."""
     text = _expand_controlled_gates(text)

@@ -1,0 +1,293 @@
+"""ctypes bridge to the native (C++) parametric-ZX reduction engine.
+
+Serializes a :class:`~tsim_tpu.zx.graph.ZXGraph` (structure + symbolic
+scalar) into flat int64/double streams, runs ``zx_full_reduce`` from
+``native/src/zx_reduce.cpp``, and rebuilds the graph in place. On any
+unsupported construct (overflowing fractions, exotic parallel edges) the
+native call reports an error and the caller falls back to the Python engine
+— the Python graph is only replaced on success, so fallback is always clean.
+
+Set ``TSIM_TPU_NATIVE_ZX=0`` to disable the native path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from array import array
+from fractions import Fraction
+
+from .graph import ZXGraph
+from .scalar import ExactDyadic, PhasePair, Scalar
+
+_LIM = 1 << 62
+
+_lib = None
+_lib_failed = False
+
+
+def _load():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    if os.environ.get("TSIM_TPU_NATIVE_ZX", "1") == "0":
+        _lib_failed = True
+        return None
+    try:
+        from ..native.build import load_library
+
+        lib = load_library("zx_reduce")
+        lib.zx_full_reduce.restype = ctypes.c_int
+        lib.zx_full_reduce.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.zx_free_i64.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+        lib.zx_free_f64.argtypes = [ctypes.POINTER(ctypes.c_double)]
+        _lib = lib
+    except Exception:
+        _lib_failed = True
+        return None
+    return _lib
+
+
+def _frac_ok(f: Fraction) -> bool:
+    return -_LIM < f.numerator < _LIM and f.denominator < _LIM
+
+
+class _Encoder:
+    def __init__(self):
+        self.ints = array("q")
+        self.floats = array("d")
+        self.names: list[str] = ["1"]
+        self.ids: dict[str, int] = {"1": 0}
+        self.ok = True
+
+    def var(self, name: str) -> int:
+        i = self.ids.get(name)
+        if i is None:
+            i = len(self.names)
+            self.ids[name] = i
+            self.names.append(name)
+        return i
+
+    def pset(self, params) -> None:
+        self.ints.append(len(params))
+        self.ints.extend(sorted(self.var(p) for p in params))
+
+    def frac(self, f: Fraction) -> None:
+        if not _frac_ok(f):
+            self.ok = False
+            self.ints.append(0)
+            self.ints.append(1)
+            return
+        self.ints.append(f.numerator)
+        self.ints.append(f.denominator)
+
+
+def encode_graph(g: ZXGraph, enc: _Encoder) -> None:
+    ints, floats = enc.ints, enc.floats
+    verts = list(g._ty.keys())
+    ints.append(g._next)
+    ints.append(len(verts))
+    ints.append(g.num_edges())
+    ints.append(len(g._inputs))
+    ints.append(len(g._outputs))
+    for v in verts:
+        ints.append(v)
+        ints.append(g._ty[v])
+        enc.frac(g._phase[v])
+        enc.pset(g._params[v])
+        floats.append(g._qubit[v])
+        floats.append(g._row[v])
+    for u, nbrs in g._adj.items():
+        for v, t in nbrs.items():
+            if u < v:
+                ints.append(u)
+                ints.append(v)
+                ints.append(t)
+    ints.extend(g._inputs)
+    ints.extend(g._outputs)
+    s = g.scalar
+    ints.append(1 if s.is_zero else 0)
+    ints.append(s.power2)
+    enc.frac(s.phase)
+    ff = s.floatfactor
+    for x in (ff.a, ff.b, ff.c, ff.d):
+        if not -_LIM < x < _LIM:
+            enc.ok = False
+            x = 0
+        ints.append(x)
+    z = complex(s.approximate_floatfactor)
+    floats.append(z.real)
+    floats.append(z.imag)
+    enc.pset(s.phasevars_pi)
+    half = [(j, vs) for j, lst in s.phasevars_halfpi.items() for vs in lst]
+    ints.append(len(half))
+    for j, vs in half:
+        ints.append(j)
+        enc.pset(vs)
+    ints.append(len(s.phasevars_pi_pair))
+    for psi, phi in s.phasevars_pi_pair:
+        enc.pset(psi)
+        enc.pset(phi)
+    ints.append(len(s.phasenodes))
+    for ph, vs in zip(s.phasenodes, s.phasenodevars):
+        enc.frac(ph)
+        enc.pset(vs)
+    ints.append(len(s.phasepairs))
+    for pp in s.phasepairs:
+        ints.append(pp.alpha)
+        ints.append(pp.beta)
+        enc.pset(pp.paramsA)
+        enc.pset(pp.paramsB)
+
+
+class _Decoder:
+    def __init__(self, ints, floats, names):
+        self.ints = ints
+        self.floats = floats
+        self.names = names
+        self.i = 0
+        self.f = 0
+
+    def next(self) -> int:
+        v = self.ints[self.i]
+        self.i += 1
+        return v
+
+    def nextf(self) -> float:
+        v = self.floats[self.f]
+        self.f += 1
+        return v
+
+    def pset(self) -> frozenset:
+        n = self.next()
+        return frozenset(self.names[self.next()] for _ in range(n))
+
+    def frac(self) -> Fraction:
+        n = self.next()
+        d = self.next()
+        return Fraction(n, d)
+
+
+def decode_graph(dec: _Decoder, g: ZXGraph) -> None:
+    """Rebuild ``g`` in place from the decoder's streams."""
+    nxt = dec.next()
+    n_verts = dec.next()
+    n_edges = dec.next()
+    n_in = dec.next()
+    n_out = dec.next()
+    ty = {}
+    phase = {}
+    params = {}
+    qubit = {}
+    row = {}
+    adj: dict[int, dict[int, int]] = {}
+    for _ in range(n_verts):
+        v = dec.next()
+        ty[v] = dec.next()
+        phase[v] = dec.frac()
+        params[v] = dec.pset()
+        qubit[v] = dec.nextf()
+        row[v] = dec.nextf()
+        adj[v] = {}
+    for _ in range(n_edges):
+        u = dec.next()
+        v = dec.next()
+        t = dec.next()
+        adj[u][v] = t
+        adj[v][u] = t
+    inputs = tuple(dec.next() for _ in range(n_in))
+    outputs = tuple(dec.next() for _ in range(n_out))
+
+    s = Scalar()
+    s.is_zero = dec.next() != 0
+    s.power2 = dec.next()
+    s.phase = dec.frac()
+    s.floatfactor = ExactDyadic(dec.next(), dec.next(), dec.next(), dec.next())
+    s.approximate_floatfactor = complex(dec.nextf(), dec.nextf())
+    s.phasevars_pi = dec.pset()
+    for _ in range(dec.next()):
+        j = dec.next()
+        s.phasevars_halfpi.setdefault(j, []).append(dec.pset())
+    for _ in range(dec.next()):
+        psi = dec.pset()
+        phi = dec.pset()
+        s.phasevars_pi_pair.append((psi, phi))
+    for _ in range(dec.next()):
+        ph = dec.frac()
+        s.phasenodes.append(ph)
+        s.phasenodevars.append(dec.pset())
+    for _ in range(dec.next()):
+        a = dec.next()
+        b = dec.next()
+        pa = dec.pset()
+        pb = dec.pset()
+        s.phasepairs.append(PhasePair(a, b, pa, pb))
+
+    g._ty = ty
+    g._phase = phase
+    g._params = params
+    g._qubit = qubit
+    g._row = row
+    g._adj = adj
+    g._vdata = {}
+    g._next = nxt
+    g.scalar = s
+    g._inputs = inputs
+    g._outputs = outputs
+    g._bset = frozenset(inputs) | frozenset(outputs)
+
+
+def native_full_reduce(g: ZXGraph, shake: bool) -> bool:
+    """Run the native full_reduce; returns False if unavailable/unsupported
+    (``g`` untouched), True when ``g`` has been reduced in place."""
+    lib = _load()
+    if lib is None:
+        return False
+    enc = _Encoder()
+    try:
+        encode_graph(g, enc)
+    except (TypeError, OverflowError):
+        return False
+    if not enc.ok:
+        return False
+    n = len(enc.ints)
+    nf = len(enc.floats)
+    in_i = (ctypes.c_int64 * n).from_buffer(enc.ints)
+    in_f = (ctypes.c_double * max(nf, 1)).from_buffer(
+        enc.floats if nf else array("d", [0.0])
+    )
+    out_i = ctypes.POINTER(ctypes.c_int64)()
+    out_il = ctypes.c_int64()
+    out_f = ctypes.POINTER(ctypes.c_double)()
+    out_fl = ctypes.c_int64()
+    status = lib.zx_full_reduce(
+        ctypes.cast(in_i, ctypes.POINTER(ctypes.c_int64)),
+        n,
+        ctypes.cast(in_f, ctypes.POINTER(ctypes.c_double)),
+        nf,
+        1 if shake else 0,
+        ctypes.byref(out_i),
+        ctypes.byref(out_il),
+        ctypes.byref(out_f),
+        ctypes.byref(out_fl),
+    )
+    if status != 0:
+        return False
+    try:
+        ints = out_i[: out_il.value]
+        floats = out_f[: out_fl.value]
+        decode_graph(_Decoder(ints, floats, enc.names), g)
+    finally:
+        lib.zx_free_i64(out_i)
+        lib.zx_free_f64(out_f)
+    return True

@@ -318,7 +318,15 @@ def full_reduce(g: ZXGraph, paramSafe: bool = True, quiet: bool = True) -> None:
     sound. Fixpoint rules exclude gadget hubs (termination); a bounded
     ``_shake`` pass then explores hub-releasing pivots, kept only when they
     strictly shrink the diagram.
+
+    Dispatches to the native C++ engine (:mod:`tsim_tpu.zx.native_simplify`)
+    when available; falls back to the Python rules below on any unsupported
+    construct. Both paths implement the same rule system.
     """
+    from .native_simplify import native_full_reduce
+
+    if native_full_reduce(g, _SHAKE_ENABLED):
+        return
     interior_clifford_simp(g)
     for _ in range(1000):
         changed = pivot_gadget_simp(g)
