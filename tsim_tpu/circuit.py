@@ -370,18 +370,22 @@ class Circuit:
 
     # ------------------------------------------------------------ compilation
     def compile_sampler(
-        self, *, strategy: str = "cat5", seed: int | None = None
+        self, *, strategy: str = "cat5", seed: int | None = None, mesh="auto"
     ) -> "CompiledMeasurementSampler":
         from .sampler import CompiledMeasurementSampler
 
-        return CompiledMeasurementSampler(self, seed=seed, strategy=strategy)
+        return CompiledMeasurementSampler(
+            self, seed=seed, strategy=strategy, mesh=mesh
+        )
 
     def compile_detector_sampler(
-        self, *, strategy: str = "cat5", seed: int | None = None
+        self, *, strategy: str = "cat5", seed: int | None = None, mesh="auto"
     ) -> "CompiledDetectorSampler":
         from .sampler import CompiledDetectorSampler
 
-        return CompiledDetectorSampler(self, seed=seed, strategy=strategy)
+        return CompiledDetectorSampler(
+            self, seed=seed, strategy=strategy, mesh=mesh
+        )
 
     def compile_state_probs(
         self,

@@ -116,26 +116,12 @@ _PROGRAM_RUNNERS: dict[int, object] = {}
 _DEVICE_RUNNERS: dict[tuple, object] = {}
 
 
-def _device_run_fn(
+def _batch_step_fn(
     program: CompiledProgram,
     device_channels: DeviceChannelSampler,
-    num_batches: int,
     batch_size: int,
 ):
-    """One jit that samples noise AND runs every batch on device.
-
-    Takes ``(base_key, batch_index)`` and folds the per-batch noise and
-    sampling keys *inside* the jit: on remote TPU backends every eager key
-    op (split/index) is a tunnel round trip, which dominated the batch loop
-    before.
-    """
-    # Keyed on object identity; the cache entry keeps the keyed objects
-    # alive, since a GC'd program's id could be reused and hand back a jit
-    # closed over the wrong (dead) program.
-    cache_key = (id(program), id(device_channels), batch_size)
-    entry = _DEVICE_RUNNERS.get(cache_key)
-    if entry is not None:
-        return entry[0]
+    """(base_key, idx) -> (packed samples, norm dev) for one batch."""
 
     def one(base_key, idx):
         # No lax.map over batches: the Pallas evaluate kernel cannot
@@ -157,12 +143,77 @@ def _device_run_fn(
         packed = out.reshape(batch_size, n8, 8).astype(jnp.float32) @ powers
         return packed.astype(jnp.uint8), dev
 
-    fn = _hoisted_jit(one, jax.random.key(0), np.uint32(0))
+    return one
+
+
+def _device_run_fn(
+    program: CompiledProgram,
+    device_channels: DeviceChannelSampler,
+    num_batches: int,
+    batch_size: int,
+    mesh=None,
+):
+    """One jit that samples noise AND runs every batch on device.
+
+    Takes ``(base_key, batch_index)`` and folds the per-batch noise and
+    sampling keys *inside* the jit: on remote TPU backends every eager key
+    op (split/index) is a tunnel round trip, which dominated the batch loop
+    before.
+
+    With ``mesh`` (a 1-axis ``jax.sharding.Mesh``), the batch's shot axis is
+    sharded across the mesh via ``shard_map``: compiled tensors replicate on
+    every device (they are tiny, SURVEY.md section 2.3), each device folds
+    its mesh position into the RNG key, and the norm monitor reduces with
+    ``pmax`` over ICI. ``batch_size`` must divide by the mesh size.
+    """
+    # Keyed on object identity; the cache entry keeps the keyed objects
+    # alive, since a GC'd program's id could be reused and hand back a jit
+    # closed over the wrong (dead) program.
+    cache_key = (id(program), id(device_channels), batch_size, id(mesh))
+    entry = _DEVICE_RUNNERS.get(cache_key)
+    if entry is not None:
+        return entry[0]
+
+    if mesh is None:
+        one = _batch_step_fn(program, device_channels, batch_size)
+        fn = _hoisted_jit(one, jax.random.key(0), np.uint32(0))
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by mesh size {n_dev}"
+            )
+        local = _batch_step_fn(program, device_channels, batch_size // n_dev)
+
+        def sharded_one(base_key, idx):
+            def body(key_rep, idx_rep):
+                k = jax.random.fold_in(key_rep, jax.lax.axis_index(axis))
+                packed, dev = local(k, idx_rep)
+                return packed, jax.lax.pmax(dev, axis)
+
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P()),
+                out_specs=(P(axis), P()),
+                check_rep=False,
+            )(base_key, idx)
+
+        fn = _hoisted_jit(
+            sharded_one,
+            jax.random.key(0),
+            np.uint32(0),
+            const_sharding=NamedSharding(mesh, P()),
+        )
     _DEVICE_RUNNERS[cache_key] = (fn, program, device_channels)
     return fn
 
 
-def _hoisted_jit(f, *example_args):
+def _hoisted_jit(f, *example_args, const_sharding=None):
     """jit(f) with closed-over arrays hoisted into runtime arguments.
 
     Closed-over numpy/device arrays lower as inline MLIR constants, which
@@ -181,7 +232,10 @@ def _hoisted_jit(f, *example_args):
     """
     closed, out_shape = jax.make_jaxpr(f, return_shape=True)(*example_args)
     out_tree = jax.tree_util.tree_structure(out_shape)
-    consts = [jax.device_put(c) for c in closed.consts]
+    if const_sharding is not None:
+        consts = [jax.device_put(c, const_sharding) for c in closed.consts]
+    else:
+        consts = [jax.device_put(c) for c in closed.consts]
     jaxpr = closed.jaxpr
 
     @jax.jit
@@ -253,6 +307,34 @@ def _available_host_memory() -> int:
         return 8 * 1024**3
 
 
+def _resolve_mesh(mesh):
+    """Resolve the sampling mesh argument.
+
+    ``"auto"``: shard the shot axis over all local devices when the default
+    backend exposes more than one accelerator (replicated compiled tensors,
+    data parallelism over shots — SURVEY.md section 5.8); single-device and
+    CPU backends sample unsharded. A ``jax.sharding.Mesh`` (1 axis) is used
+    as given; ``None`` disables sharding.
+
+    Sharded and unsharded runs draw different (but individually seeded and
+    reproducible) sample streams: each device folds its mesh position into
+    the batch key.
+    """
+    if mesh is None:
+        return None
+    if mesh == "auto":
+        if jax.default_backend() == "cpu" or jax.device_count() <= 1:
+            return None
+        from .parallel.shard import make_shot_mesh
+
+        return make_shot_mesh()
+    if len(mesh.axis_names) != 1:
+        raise ValueError("sampling mesh must have exactly one axis")
+    if mesh.devices.size <= 1:
+        return None
+    return mesh
+
+
 class _CompiledSamplerBase:
     """Shared compile-and-sample machinery.
 
@@ -265,15 +347,20 @@ class _CompiledSamplerBase:
     def __getstate__(self):
         state = dict(self.__dict__)
         # jax PRNG keys don't pickle; store raw key data. The native frame
-        # sampler holds a ctypes handle: rebuilt lazily after load.
+        # sampler holds a ctypes handle: rebuilt lazily after load. The
+        # mesh holds live device objects: re-resolved from the restoring
+        # process's devices on load.
         state["_key"] = np.asarray(jax.random.key_data(self._key))
         state["_native_frame"] = None
+        state["_mesh"] = "auto" if state.get("_mesh") is not None else None
         return state
 
     def __setstate__(self, state):
         key_data = state.pop("_key")
+        mesh = state.pop("_mesh", None)
         self.__dict__.update(state)
         self._key = jax.random.wrap_key_data(jnp.asarray(key_data))
+        self._mesh = _resolve_mesh(mesh)
 
     def save(self, path) -> None:
         """Checkpoint the compiled sampler (tensors + RNG state)."""
@@ -301,10 +388,12 @@ class _CompiledSamplerBase:
         mode: Literal["sequential", "joint"],
         strategy: str = "cat5",
         seed: int | None = None,
+        mesh="auto",
     ):
         if seed is None:
             seed = int(np.random.default_rng().integers(0, 2**30))
         self._key = jax.random.key(seed)
+        self._mesh = _resolve_mesh(mesh)
 
         import time as _time
 
@@ -487,6 +576,11 @@ class _CompiledSamplerBase:
             batch_size = ceil(shots / num_batches)
         else:
             num_batches = ceil(shots / batch_size)
+        if self._mesh is not None:
+            # The shot axis shards across the mesh: round the batch up to a
+            # device multiple (surplus rows are trimmed after unpacking).
+            n_dev = self._mesh.devices.size
+            batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
 
         reference: np.ndarray | None = None
         if compute_reference:
@@ -499,7 +593,11 @@ class _CompiledSamplerBase:
         # only eager key op per call is this one split.
         self._key, base_key = jax.random.split(self._key)
         runner = _device_run_fn(
-            self._program, self._device_channels, num_batches, batch_size
+            self._program,
+            self._device_channels,
+            num_batches,
+            batch_size,
+            mesh=self._mesh,
         )
         pending = [
             runner(base_key, np.uint32(bi)) for bi in range(num_batches)
@@ -703,10 +801,13 @@ class _CompiledSamplerBase:
 class CompiledMeasurementSampler(_CompiledSamplerBase):
     """Samples measurement outcomes (sequential ladder)."""
 
-    def __init__(self, circuit, *, strategy: str = "cat5", seed: int | None = None):
+    def __init__(
+        self, circuit, *, strategy: str = "cat5", seed: int | None = None,
+        mesh="auto",
+    ):
         super().__init__(
             circuit, sample_detectors=False, mode="sequential", seed=seed,
-            strategy=strategy,
+            strategy=strategy, mesh=mesh,
         )
 
     def sample(self, shots: int, *, batch_size: int | None = None) -> np.ndarray:
@@ -722,10 +823,13 @@ def _maybe_bit_pack(array: np.ndarray, *, bit_packed: bool) -> np.ndarray:
 class CompiledDetectorSampler(_CompiledSamplerBase):
     """Samples detector and observable outcomes."""
 
-    def __init__(self, circuit, *, strategy: str = "cat5", seed: int | None = None):
+    def __init__(
+        self, circuit, *, strategy: str = "cat5", seed: int | None = None,
+        mesh="auto",
+    ):
         super().__init__(
             circuit, sample_detectors=True, mode="sequential", seed=seed,
-            strategy=strategy,
+            strategy=strategy, mesh=mesh,
         )
 
     def sample(
@@ -867,10 +971,11 @@ class CompiledStateProbs(_CompiledSamplerBase):
         sample_detectors: bool = False,
         strategy: str = "cat5",
         seed: int | None = None,
+        mesh="auto",
     ):
         super().__init__(
             circuit, sample_detectors=sample_detectors, mode="joint", seed=seed,
-            strategy=strategy,
+            strategy=strategy, mesh=mesh,
         )
 
     def probability_of(self, state: np.ndarray, *, batch_size: int) -> np.ndarray:
