@@ -34,8 +34,9 @@ def main() -> None:
     _log(f"host compile {time.perf_counter() - t0:.0f}s")
 
     # The fused Pallas evaluate streams (batch, graph) tiles, so a single
-    # dispatch can span half a million shots; ~1M shots = 2 dispatches.
-    batch = 1 << 19
+    # dispatch can span millions of shots; 2^21/batch amortizes the remote
+    # tunnel's per-fetch latency (measured best on v5e via batch sweep).
+    batch = 1 << 21
     shots = batch * 2
     # Warm up: first call compiles the on-device run (noise sampling +
     # sampling ladder); the timed call below reuses the jit.

@@ -225,3 +225,69 @@ class TestConjugateGadgetPair:
         assert_sum_equiv(
             g, split_conjugate_gadget_pair(g.copy(), l1, h1, l2, h2, a, b)
         )
+
+
+class TestGadgetPairProjector:
+    """2-term projector split for conjugate / same-phase gadget pairs."""
+
+    def _build(self, rng, conjugate, overlap, with_params, hub_params):
+        from tsim_tpu.zx.decompose import split_gadget_pair_projector
+
+        g = ZXGraph()
+        vs = _random_clifford_core(rng, g, n=5)
+        t1 = [vs[i] for i in (0, 1, 2)]
+        t2 = [vs[i] for i in ((1, 2, 3) if overlap else (3, 4))]
+        a1 = Fraction(1, 4)
+        a2 = (-a1) % 2 if conjugate else a1
+        h1 = g.add_vertex(Z)
+        l1 = g.add_vertex(Z, phase=a1)
+        h2 = g.add_vertex(Z)
+        l2 = g.add_vertex(Z, phase=a2)
+        if with_params:
+            g.set_params(l1, {PARAMS[0]})
+            g.set_params(l2, {PARAMS[0]})
+        if hub_params:
+            g.set_params(h1, {PARAMS[0]})
+            g.set_params(h2, {PARAMS[1]})
+        g.add_edge((l1, h1), HADAMARD)
+        g.add_edge((l2, h2), HADAMARD)
+        for t in t1:
+            g.add_edge((h1, t), HADAMARD)
+        for t in t2:
+            g.add_edge((h2, t), HADAMARD)
+        _add_boundaries(rng, g, vs)
+        return g, (l1, h1, l2, h2), split_gadget_pair_projector
+
+    @pytest.mark.parametrize("seed", range(4))
+    @pytest.mark.parametrize("conjugate", [True, False])
+    @pytest.mark.parametrize("overlap", [True, False])
+    @pytest.mark.parametrize("with_params", [True, False])
+    def test_random_graphs(self, seed, conjugate, overlap, with_params):
+        rng = np.random.default_rng(seed + 100)
+        g, motif, split = self._build(
+            rng, conjugate, overlap, with_params, hub_params=seed % 2 == 0
+        )
+        gsum = split(g.copy(), *motif)
+        assert len(gsum.graphs) == 2
+        base_t = tcount(g)
+        assert all(tcount(gg) == base_t - 2 for gg in gsum.graphs)
+        assert_sum_equiv(g, gsum)
+
+    def test_identical_supports(self):
+        """T1 == T2 gives an empty symdiff: projector is a bare scalar node."""
+        from tsim_tpu.zx.decompose import split_gadget_pair_projector
+
+        rng = np.random.default_rng(7)
+        g = ZXGraph()
+        vs = _random_clifford_core(rng, g, n=3)
+        h1 = g.add_vertex(Z)
+        l1 = g.add_vertex(Z, phase=Fraction(1, 4))
+        h2 = g.add_vertex(Z)
+        l2 = g.add_vertex(Z, phase=Fraction(7, 4))
+        g.add_edge((l1, h1), HADAMARD)
+        g.add_edge((l2, h2), HADAMARD)
+        for t in vs:
+            g.add_edge((h1, t), HADAMARD)
+            g.add_edge((h2, t), HADAMARD)
+        _add_boundaries(rng, g, vs)
+        assert_sum_equiv(g, split_gadget_pair_projector(g.copy(), l1, h1, l2, h2))

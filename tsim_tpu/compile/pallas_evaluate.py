@@ -485,14 +485,41 @@ def evaluate_abs_fused(circuit: CompiledScalarGraphs, param_vals: Array) -> Arra
     return result[:B]
 
 
-# Prepared bucket blocks are device_put once per (circuit, P): embedding
-# them as jit literals instead makes the lowered program carry the full
-# term tensors by value, which overflows remote-compile request limits for
-# large-G circuits (observed: HTTP 413 on a 16k-graph cultivation compile).
+# Prepared bucket blocks are cached as concrete numpy per (circuit, P).
+# Inside a trace they lower as jaxpr constants, which the sampler's
+# _hoisted_jit turns into runtime parameters (device transfer once, tiny
+# HLO); when called eagerly they are device_put once into a second cache.
+# The cache must never hold trace-dependent values: a device_put issued
+# under tracing returns a tracer, and caching it leaks it into later
+# traces (observed as UnexpectedTracerError on re-trace).
 _BLOCK_CACHE: dict = {}
+_DEVICE_BLOCK_CACHE: dict = {}
+
+
+def _tracing() -> bool:
+    try:
+        return not jax.core.trace_state_clean()
+    except AttributeError:  # older jax
+        return isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
 
 
 def _prepared_buckets(circuit: CompiledScalarGraphs, P: int):
+    buckets = _prepared_buckets_np(circuit, P)
+    if _tracing():
+        return buckets
+    cache_key = (id(circuit), P, jax.default_backend())
+    entry = _DEVICE_BLOCK_CACHE.get(cache_key)
+    if entry is not None and entry[0] is circuit:
+        return entry[1]
+    dev = [
+        ({k: jax.device_put(v) for k, v in blocks.items()}, dims)
+        for blocks, dims in buckets
+    ]
+    _DEVICE_BLOCK_CACHE[cache_key] = (circuit, dev)
+    return dev
+
+
+def _prepared_buckets_np(circuit: CompiledScalarGraphs, P: int):
     cache_key = (id(circuit), P, jax.default_backend())
     entry = _BLOCK_CACHE.get(cache_key)
     if entry is not None and entry[0] is circuit:
@@ -593,7 +620,6 @@ def _prepared_buckets(circuit: CompiledScalarGraphs, P: int):
         T1, T2, T3, T4 = (max(t, 1) for t in (T1, T2, T3, T4))
 
         dims = (T1, T2, T3, T4, _GT, Gp, bt)
-        blocks = {k: jax.device_put(v) for k, v in blocks.items()}
         buckets.append((blocks, dims))
 
     _BLOCK_CACHE[cache_key] = (circuit, buckets)
@@ -617,10 +643,10 @@ def _use_fused() -> bool:
 def evaluate_abs_auto(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
     """Dispatch: fused Pallas kernel on TPU, XLA path elsewhere.
 
-    Graph counts below one tile stay on the XLA path: they are cheap there,
-    and degenerate near-empty kernels trip Mosaic compiler crashes on some
-    TPU toolchains (observed on the G=1 norm circuit).
+    Small graph counts stay on the XLA path: below ~24 graphs the XLA tree
+    is faster than a kernel padded to the 128-lane granule (measured on
+    v5e: G=9 1ms XLA vs 9ms fused; G=62 73ms XLA vs 19ms fused).
     """
-    if not _use_fused() or circuit.num_graphs < 64:
+    if not _use_fused() or circuit.num_graphs < 24:
         return _evaluate_abs_xla(circuit, param_vals)
     return _anchor(evaluate_abs_fused(circuit, param_vals), param_vals)

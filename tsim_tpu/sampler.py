@@ -471,11 +471,20 @@ class _CompiledSamplerBase:
         f_ref = np.zeros((1, num_f), dtype=np.uint8)
         if not self._program.components:
             return self._compute_direct_outputs(f_ref)[0]
+        # The key split stays (the sample stream layout is part of the
+        # seeded-determinism contract) but the device evaluation of the
+        # noiseless f=0 row is deterministic: compute it once and reuse
+        # (it previously ran the full ladder on device per sample() call).
         self._key, subkey = jax.random.split(self._key)
+        cached = getattr(self, "_reference_cache", None)
+        if cached is not None:
+            return cached
         f_ref_dev = jnp.asarray(f_ref)
         out, dev = _program_runner_hoisted(self._program, f_ref_dev)(f_ref_dev, subkey)
         _check_norm_deviation(dev)
-        return np.asarray(jax.device_get(out)).view(np.bool_)[0]
+        result = np.asarray(jax.device_get(out)).view(np.bool_)[0]
+        self._reference_cache = result
+        return result
 
     # -------------------------------------------------------------- batching
     def _peak_bytes_per_sample(self) -> int:
@@ -602,19 +611,26 @@ class _CompiledSamplerBase:
         pending = [
             runner(base_key, np.uint32(bi)) for bi in range(num_batches)
         ]
-        # One device_get per batch fetching (samples, norm deviation)
-        # together: separate fetches cost a tunnel round trip each.
-        host = [jax.device_get(p) for p in pending]
-        packed_parts = [np.asarray(o) for o, _ in host]
-        packed = (
-            packed_parts[0]
-            if len(packed_parts) == 1
-            else np.concatenate(packed_parts, axis=0)
-        )
-        result = np.unpackbits(packed, axis=1, bitorder="little")[
-            :shots, : self._program.num_outputs
-        ].view(np.bool_)
-        _check_norm_deviation(np.max([np.asarray(d) for _, d in host], axis=0))
+        # (copy_to_host_async is deliberately NOT used here: the axon
+        # remote-TPU backend intermittently hangs on it. Batches are
+        # dispatched async above, so batch i+1 computes while batch i's
+        # blocking fetch drains the tunnel.)
+        num_outputs = self._program.num_outputs
+        result = np.empty((shots, num_outputs), dtype=np.bool_)
+        max_dev = np.zeros(1, dtype=np.float32)
+        row = 0
+        for out, dev in pending:
+            # One device_get per batch fetching (samples, norm deviation)
+            # together: separate fetches cost a tunnel round trip each.
+            packed, dev_h = jax.device_get((out, dev))
+            bools = np.unpackbits(
+                np.asarray(packed), axis=1, bitorder="little"
+            )[:, :num_outputs]
+            take = min(batch_size, shots - row)
+            result[row : row + take] = bools[:take]
+            row += take
+            max_dev = np.maximum(max_dev, np.asarray(dev_h))
+        _check_norm_deviation(max_dev)
 
         if compute_reference:
             assert reference is not None
