@@ -238,14 +238,16 @@ class TestGadgetPairProjector:
         t1 = [vs[i] for i in (0, 1, 2)]
         t2 = [vs[i] for i in ((1, 2, 3) if overlap else (3, 4))]
         a1 = Fraction(1, 4)
-        a2 = (-a1) % 2 if conjugate else a1
+        # "conjugate" pairs sum to 0; otherwise any odd pi/4 partner works
+        # (sum and difference are always Clifford for odd eighth-turns).
+        a2 = (-a1) % 2 if conjugate else Fraction(3, 4)
         h1 = g.add_vertex(Z)
         l1 = g.add_vertex(Z, phase=a1)
         h2 = g.add_vertex(Z)
         l2 = g.add_vertex(Z, phase=a2)
         if with_params:
             g.set_params(l1, {PARAMS[0]})
-            g.set_params(l2, {PARAMS[0]})
+            g.set_params(l2, {PARAMS[1]})  # unequal leaf params
         if hub_params:
             g.set_params(h1, {PARAMS[0]})
             g.set_params(h2, {PARAMS[1]})

@@ -212,13 +212,77 @@ def merge_parallel_graphs(graphs: list[ZXGraph]) -> list[ZXGraph]:
     return _merge_by_key(graphs, key_fn)
 
 
+def _canonical_state_key(g: ZXGraph):
+    """Isomorphism-canonical key via color refinement, or None.
+
+    Vertices start colored by (type, phase, params, boundary position) and
+    refine on sorted neighbor (color, edge type) multisets. When refinement
+    ends with every vertex a unique color, the color order IS a canonical
+    labeling and the returned key is exact under relabeling (two graphs get
+    equal keys iff they are isomorphic with matching data). Ties -> None
+    (caller falls back to the id-based key): correctness never depends on
+    refinement succeeding.
+    """
+    verts = list(g._ty)
+    base = {}
+    in_pos = {v: i for i, v in enumerate(g._inputs)}
+    out_pos = {v: i for i, v in enumerate(g._outputs)}
+    for v in verts:
+        base[v] = (
+            g._ty[v],
+            str(g._phase[v]),
+            tuple(sorted(g._params[v])),
+            in_pos.get(v, -1),
+            out_pos.get(v, -1),
+        )
+    palette = {c: i for i, c in enumerate(sorted(set(base.values())))}
+    colors = {v: palette[base[v]] for v in verts}
+    n_colors = len(palette)
+    for _ in range(len(verts)):
+        if n_colors == len(verts):
+            break
+        sig = {
+            v: (colors[v], tuple(sorted((colors[n], t) for n, t in g._adj[v].items())))
+            for v in verts
+        }
+        palette = {c: i for i, c in enumerate(sorted(set(sig.values())))}
+        new_colors = {v: palette[sig[v]] for v in verts}
+        new_n = len(palette)
+        if new_n == n_colors:
+            break
+        colors, n_colors = new_colors, new_n
+    if n_colors != len(verts):
+        return None
+    rank = {v: colors[v] for v in verts}
+    cverts = tuple(
+        (rank[v],) + base[v][:3] for v in sorted(verts, key=rank.get)
+    )
+    cedges = tuple(
+        sorted(
+            (min(rank[u], rank[v]), max(rank[u], rank[v]), t)
+            for u in verts
+            for v, t in g._adj[u].items()
+            if rank[u] < rank[v]
+        )
+    )
+    return (cverts, cedges, _scalar_signature(g))
+
+
 def merge_equal_states(graphs: list[ZXGraph]) -> list[ZXGraph]:
-    """Merge in-flight decomposition branches with exactly equal graph
-    state (same vertex ids/types/phases/params/edges) and symbolic scalar."""
+    """Merge in-flight decomposition branches with equal graph state.
+
+    Branches are keyed canonically up to vertex relabeling when color
+    refinement individualizes every vertex (the common case for these
+    sparse, richly-labeled graphs); otherwise by exact vertex ids. Symbolic
+    scalars must match exactly in both cases; only constant prefactors sum.
+    """
 
     def key_fn(g):
         if g.scalar.is_zero:
             return ("__opaque__", id(g))
+        ck = _canonical_state_key(g)
+        if ck is not None:
+            return ("c", ck)
         return ("g", _graph_state_key(g))
 
     return _merge_by_key(graphs, key_fn)

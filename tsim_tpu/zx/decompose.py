@@ -217,101 +217,78 @@ def split_conjugate_gadget_pair(
 def split_gadget_pair_projector(
     g: ZXGraph, l1: int, h1: int, l2: int, h2: int
 ) -> GraphSum:
-    """2-term split of ANY conjugate or same-phase pair of phase gadgets.
+    """2-term projector split of ANY pair of phase gadgets.
 
     A gadget (leaf ``l(a + pi P)`` --H-- hub ``h(0, Q)`` --H-- targets T)
     contributes ``sqrt(2)^(1-|T|) * e^{i a' sigma}`` with
     ``sigma = parity(T values) xor parity(Q)`` and ``a' = a + pi parity(P)``
     (derived by contracting leaf+hub; verified by the tensor oracle).
 
-    For a pair with equal leaf params P and leaf phases a1, a2, partition
-    the double sum over (sigma1, sigma2) by the value of sigma1 xor sigma2.
-    A *parity projector* onto ``parity(D) xor parity(Q1^Q2) = c`` for
+    Partition the pair's double sum by ``sigma1 xor sigma2``. A *parity
+    projector* onto ``parity(D) xor parity(Q1^Q2) = c`` for
     D = T1 symdiff T2 is a bare Z spider (phase c*pi, params Q1^Q2)
-    H-connected to D, worth ``sqrt(2)^(2-|D|) [match]``.
+    H-connected to D, worth ``sqrt(2)^(2-|D|) [match]``. Both branches
+    remove gadget 1 and retarget gadget 2:
 
-    Conjugate pair (a1 + a2 = 0 mod 2):
-    * E:  sigma1 = sigma2 => joint factor 1. Both gadgets replaced by the
-      c=0 projector; power += |D| - |T1| - |T2|.
-    * O:  sigma1 != sigma2 => factor e^{i a1'} e^{-2 i a1 sigma2}. Gadget 1
-      removed, gadget 2's leaf becomes -2*a1 (params cleared), plus the
-      c=1 projector; power += |D| - |T1| - 1, phase += a1, pi-var P.
+    * E (sigma1 = sigma2): joint factor e^{i(a1'+a2') sigma2}: gadget 2's
+      leaf becomes ``a1+a2`` with params P1^P2, plus the c=0 projector.
+    * O (sigma1 != sigma2): factor e^{i a1'} e^{i(a2'-a1') sigma2}:
+      gadget 2's leaf becomes ``a2-a1`` with params P1^P2, plus the c=1
+      projector; scalar phase += a1, pi-var P1.
 
-    Same-phase pair (a1 = a2):
-    * E:  factor e^{2 i a1 sigma2}: gadget 2's leaf becomes 2*a1 (params
-      cleared) plus the c=0 projector; power += |D| - |T1| - 1.
-    * O:  constant e^{i a1'}: both gadgets removed plus the c=1 projector;
-      power += |D| - |T1| - |T2|, phase += a1, pi-var P.
-
-    Each branch removes both magic phases (T-count -2) and, unlike
-    :func:`split_t_pair`, fuses the two supports into one projector spider
-    (which immediately pivots/fuses onward), so doubled-diagram mirror
-    gadgets collapse instead of accumulating residual hubs. 2^(T/2) worst
-    case with far stronger in-flight merging. Oracle-verified in
-    tests/unit/zx.
+    Both branches: power += |D| - |T1| - 1. The branches are Clifford
+    whenever a1+a2 and a1-a2 are multiples of pi/2 — true for ANY two
+    odd multiples of pi/4, with no conjugacy or parameter-equality
+    requirement. Each branch removes both magic phases (T-count -2) and
+    fuses the two supports into one projector spider (which immediately
+    pivots/fuses onward), so doubled-diagram mirror gadgets collapse
+    instead of accumulating residual hubs: 2^(T/2) worst case with far
+    stronger in-flight merging. Oracle-verified in tests/unit/zx.
     """
     a1 = g.phase(l1)
     a2 = g.phase(l2)
-    P = g.get_params(l1)
+    P1 = frozenset(g.get_params(l1))
+    P2 = frozenset(g.get_params(l2))
+    Pd = P1 ^ P2
     Q1 = frozenset(g.get_params(h1))
     Q2 = frozenset(g.get_params(h2))
     T1 = set(g.neighbors(h1)) - {l1}
     T2 = set(g.neighbors(h2)) - {l2}
     D = T1 ^ T2
     Qd = Q1 ^ Q2
-    conjugate = (a1 + a2) % 2 == 0
     qrow = (g.row(h1) + g.row(h2)) / 2
     qq = g.qubit(h1) - 0.5
 
-    def add_projector(gg: ZXGraph, c: int) -> None:
+    def branch(c: int, leaf_phase: Fraction) -> ZXGraph:
+        gg = g.copy()
+        gg.remove_vertex(l1)
+        gg.remove_vertex(h1)
+        gg.set_phase(l2, leaf_phase % 2)
+        gg.set_params(l2, Pd)
         hub = gg.add_vertex(Z, qubit=qq, row=qrow, phase=Fraction(c))
         gg.set_params(hub, Qd)
         for t in D:
             gg.add_edge((hub, t), HADAMARD)
+        gg.scalar.add_power(len(D) - len(T1) - 1)
+        return gg
 
-    if conjugate:
-        gE = g.copy()
-        for v in (l1, l2, h1, h2):
-            gE.remove_vertex(v)
-        add_projector(gE, 0)
-        gE.scalar.add_power(len(D) - len(T1) - len(T2))
-
-        gO = g.copy()
-        gO.remove_vertex(l1)
-        gO.remove_vertex(h1)
-        gO.set_phase(l2, (-2 * a1) % 2, clearParams=True)
-        gO.set_params(l2, ())
-        add_projector(gO, 1)
-        gO.scalar.add_power(len(D) - len(T1) - 1)
-        gO.scalar.add_phase(a1)
-        if P:
-            gO.scalar.add_pi_var(P)
-    else:
-        gE = g.copy()
-        gE.remove_vertex(l1)
-        gE.remove_vertex(h1)
-        gE.set_phase(l2, (2 * a1) % 2, clearParams=True)
-        gE.set_params(l2, ())
-        add_projector(gE, 0)
-        gE.scalar.add_power(len(D) - len(T1) - 1)
-
-        gO = g.copy()
-        for v in (l1, l2, h1, h2):
-            gO.remove_vertex(v)
-        add_projector(gO, 1)
-        gO.scalar.add_power(len(D) - len(T1) - len(T2))
-        gO.scalar.add_phase(a1)
-        if P:
-            gO.scalar.add_pi_var(P)
+    gE = branch(0, a1 + a2)
+    gO = branch(1, a2 - a1)
+    gO.scalar.add_phase(a1)
+    if P1:
+        gO.scalar.add_pi_var(P1)
     return GraphSum([gE, gO])
 
 
-def _find_projector_gadget_pair(g: ZXGraph, ts: list[int]):
+def _find_projector_gadget_pair(g: ZXGraph, ts: list[int], strict: bool = True):
     """(l1, h1, l2, h2) for a projector-splittable gadget pair.
 
-    Prefers conjugate pairs (doubled-diagram ket/bra mirrors) with maximal
-    support overlap (small symdiff keeps the projector local), then
-    same-phase pairs.
+    ``strict`` restricts to pairs with equal leaf params whose phases sum
+    or cancel to a multiple of pi (doubled-diagram ket/bra mirrors) —
+    measured to merge best on the cultivation ladder; the loose tier
+    accepts any odd-eighth-turn pair and runs only when no strict match
+    exists. Prefers conjugate pairs with maximal support overlap (small
+    symdiff keeps the projector local).
     """
     gadgets = []
     for v in ts:
@@ -331,13 +308,21 @@ def _find_projector_gadget_pair(g: ZXGraph, ts: list[int]):
         for l2, h2, t2 in gadgets[i + 1 :]:
             if h1 == h2 or h2 in t1 or h1 in t2 or l2 in t1 or l1 in t2:
                 continue
-            if g.get_params(l1) != g.get_params(l2):
+            if ((g.phase(l1) + g.phase(l2)) % 2).denominator > 2:
+                continue
+            if ((g.phase(l1) - g.phase(l2)) % 2).denominator > 2:
                 continue
             conj = (g.phase(l1) + g.phase(l2)) % 2 == 0
             same = g.phase(l1) == g.phase(l2)
-            if not (conj or same):
+            eqp = g.get_params(l1) == g.get_params(l2)
+            if strict and not (eqp and (conj or same)):
                 continue
-            score = (2 if conj else 0) * 1000 + len(t1 & t2) * 10 - len(t1 ^ t2)
+            score = (
+                (2000 if eqp else 0)
+                + (1000 if conj else 0)
+                + len(t1 & t2) * 10
+                - len(t1 ^ t2)
+            )
             if best is None or score > best[0]:
                 best = (score, l1, h1, l2, h2)
     if best is None:
@@ -430,7 +415,9 @@ def replace_magic_states(
         if motif is not None:
             return split_conjugate_gadget_pair(g, *motif)
         if _PROJ_ORDER != "off":
-            motif = _find_projector_gadget_pair(g, ts)
+            motif = _find_projector_gadget_pair(g, ts, strict=True)
+            if motif is None and _PROJ_ORDER == "loose":
+                motif = _find_projector_gadget_pair(g, ts, strict=False)
             if motif is not None:
                 return split_gadget_pair_projector(g, *motif)
     if len(ts) >= 2:
