@@ -36,8 +36,13 @@ def main() -> None:
     # The fused Pallas evaluate streams (batch, graph) tiles, so a single
     # dispatch can span millions of shots; 2^21/batch amortizes the remote
     # tunnel's per-fetch latency (measured best on v5e via batch sweep).
-    batch = 1 << 21
-    shots = batch * 2
+    # Deep pipeline of moderate batches: the drain thread overlaps each
+    # batch's tunnel d2h with the next batches' device compute; 16 x 2^20
+    # measured best on v5e via dev/d2h_probe2.py (5.2M shots/s vs 3.5M for
+    # 2 x 2^21 — deeper pipelines amortize the non-overlapped first-compute
+    # and last-fetch windows).
+    batch = 1 << 20
+    shots = batch * 16
     # Warm up: first call compiles the on-device run (noise sampling +
     # sampling ladder); the timed call below reuses the jit.
     t0 = time.perf_counter()

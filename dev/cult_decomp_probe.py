@@ -107,6 +107,41 @@ def p_lookahead():
     dc._find_projector_gadget_pair = find
 
 
+@policy("greedy_full")
+def p_greedy_full():
+    from tsim_tpu.zx.simplify import full_reduce
+    from tsim_tpu.zx.decompose import split_gadget_pair_projector, tcount
+
+    def find(g, ts, strict=True):
+        gadgets = _gadgets(g, ts)
+        cands = []
+        for i, (l1, h1, t1) in enumerate(gadgets):
+            for l2, h2, t2 in gadgets[i + 1 :]:
+                ok, conj, eqp = _pair_ok(g, l1, h1, t1, l2, h2, t2, strict)
+                if not ok:
+                    continue
+                static = (2000 if eqp else 0) + (1000 if conj else 0) + 10 * len(t1 & t2) - len(t1 ^ t2)
+                cands.append((static, l1, h1, l2, h2))
+        if not cands:
+            return None
+        cands.sort(reverse=True)
+        best = None
+        for static, l1, h1, l2, h2 in cands:
+            gs = split_gadget_pair_projector(g.copy(), l1, h1, l2, h2)
+            cost = 0.0
+            for child in gs.graphs:
+                full_reduce(child, paramSafe=True)
+                if child.scalar.is_zero:
+                    continue
+                cost += 2.0 ** (tcount(child) / 2.0)
+            key = (cost, -static)
+            if best is None or key < best[0]:
+                best = (key, l1, h1, l2, h2)
+        return best[1:]
+
+    dc._find_projector_gadget_pair = find
+
+
 def _gadgets(g, ts):
     from tsim_tpu.zx.decompose import _all_h
     out = []

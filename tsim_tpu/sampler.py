@@ -280,6 +280,51 @@ def _program_runner_hoisted(program: CompiledProgram, example_f):
     return fn
 
 
+def _drain_fetches(pending):
+    """Yield ``jax.device_get(item)`` per pending batch, fetched from a
+    worker thread so the tunnel d2h of batch i overlaps the host unpack of
+    batch i-1 (and any still-running device batches).
+
+    One device_get per batch fetches (samples, norm deviation) together —
+    separate fetches cost a remote round trip each. copy_to_host_async is
+    deliberately NOT used: the axon remote-TPU backend intermittently hangs
+    on it; a plain blocking device_get on a worker thread is safe (measured
+    3.2M -> 4.1M shots/s on the d3 distillation bench, dev/d2h_probe.py).
+    """
+    import queue as _queue
+    import threading as _threading
+
+    if len(pending) == 1:
+        yield jax.device_get(pending[0])
+        return
+    q: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def work():
+        try:
+            for item in pending:
+                q.put((jax.device_get(item), None))
+        except BaseException as exc:  # propagate into the consumer
+            q.put((None, exc))
+
+    t = _threading.Thread(target=work, daemon=True)
+    t.start()
+    try:
+        for _ in range(len(pending)):
+            fetched, exc = q.get()
+            if exc is not None:
+                raise exc
+            yield fetched
+        t.join()
+    finally:
+        # If the consumer bailed early, unblock the worker's q.put so the
+        # daemon thread can run to completion instead of leaking blocked.
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                t.join(timeout=0.05)
+
+
 def _check_norm_deviation(max_dev) -> None:
     # rank-1 transfer: some TPU backends cannot fetch rank-0 arrays.
     val = float(np.asarray(jax.device_get(max_dev))[0])
@@ -611,18 +656,11 @@ class _CompiledSamplerBase:
         pending = [
             runner(base_key, np.uint32(bi)) for bi in range(num_batches)
         ]
-        # (copy_to_host_async is deliberately NOT used here: the axon
-        # remote-TPU backend intermittently hangs on it. Batches are
-        # dispatched async above, so batch i+1 computes while batch i's
-        # blocking fetch drains the tunnel.)
         num_outputs = self._program.num_outputs
         result = np.empty((shots, num_outputs), dtype=np.bool_)
         max_dev = np.zeros(1, dtype=np.float32)
         row = 0
-        for out, dev in pending:
-            # One device_get per batch fetching (samples, norm deviation)
-            # together: separate fetches cost a tunnel round trip each.
-            packed, dev_h = jax.device_get((out, dev))
+        for packed, dev_h in _drain_fetches(pending):
             bools = np.unpackbits(
                 np.asarray(packed), axis=1, bitorder="little"
             )[:, :num_outputs]
