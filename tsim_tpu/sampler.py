@@ -536,9 +536,7 @@ class _CompiledSamplerBase:
         # Noise configurations (B, num_f) uint8 plus working copies, and the
         # on-device channel sampler's (B, C, O) one-hot intermediates.
         peak = 8 * self._channel_sampler.signature_matrix.shape[1]
-        if self._device_channels.num_channels:
-            c, o = self._device_channels.cdf.shape
-            peak = max(peak, 6 * c * o)
+        peak = max(peak, self._device_channels.peak_bytes_per_shot)
         for component in self._program.components:
             for circuit in component.compiled_scalar_graphs:
                 G = circuit.num_graphs
@@ -722,13 +720,24 @@ class _CompiledSamplerBase:
         survivor_idx: list[int] = []
         shot_idx = 0
 
+        # Bounded async pipeline: dispatches enqueue, fetches retire lazily,
+        # so host-side channel sampling and direct prefiltering overlap the
+        # device batches and their tunnel d2h.
+        pending: list[tuple] = []
+
+        def _retire():
+            out_dev, dev, indices, n_valid = pending.pop(0)
+            out, dev_h = jax.device_get((out_dev, dev))
+            _check_norm_deviation(dev_h)
+            result[indices[:n_valid]] = np.asarray(out).view(np.bool_)[:n_valid]
+
         def _dispatch(f_batch, indices, n_valid):
             self._key, subkey = jax.random.split(self._key)
             f_dev = jnp.asarray(f_batch)
             out_dev, dev = _program_runner_hoisted(self._program, f_dev)(f_dev, subkey)
-            _check_norm_deviation(dev)
-            out = np.asarray(jax.device_get(out_dev)).view(np.bool_)
-            result[indices[:n_valid]] = out[:n_valid]
+            pending.append((out_dev, dev, list(indices), n_valid))
+            while len(pending) > 3:
+                _retire()
 
         def _flush(final=False):
             nonlocal survivor_f, survivor_idx
@@ -766,6 +775,8 @@ class _CompiledSamplerBase:
             shot_idx += chunk
             _flush()
         _flush(final=True)
+        while pending:
+            _retire()
 
         if xor_detector_ref and reference is not None:
             det_ref = reference[: self._num_detectors]
