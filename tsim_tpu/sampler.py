@@ -132,15 +132,19 @@ def _batch_step_fn(
         k_sample = jax.random.fold_in(base_key, 2 * idx + 1)
         f_params = device_channels.sample(k_noise, batch_size)
         out, dev = sample_program_with_deviation(program, f_params, k_sample)
-        # Bit-pack the sample bits on device (8x smaller d2h; remote
-        # TPU tunnels move tens of MB/s). Gather-free: dot with powers
-        # of two over output groups of 8.
+        # Bit-pack on device along the SHOT axis (bitplane layout): d2h
+        # carries exactly num_outputs bits per shot instead of the
+        # ceil(n/8)-byte row packing — 1.6x less tunnel traffic for the
+        # 5-output distillation workloads, and the remote tunnel's d2h
+        # bandwidth is the e2e bottleneck. Gather-free: dot with powers
+        # of two over shot groups of 8.
         n = out.shape[1]
-        n8 = (n + 7) // 8
-        if n8 * 8 != n:
-            out = jnp.pad(out, ((0, 0), (0, n8 * 8 - n)))
+        b8 = (batch_size + 7) // 8
+        planes = out.T  # (n, B)
+        if b8 * 8 != batch_size:
+            planes = jnp.pad(planes, ((0, 0), (0, b8 * 8 - batch_size)))
         powers = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.float32)
-        packed = out.reshape(batch_size, n8, 8).astype(jnp.float32) @ powers
+        packed = planes.reshape(n, b8, 8).astype(jnp.float32) @ powers
         return packed.astype(jnp.uint8), dev
 
     return one
@@ -199,7 +203,7 @@ def _device_run_fn(
                 body,
                 mesh=mesh,
                 in_specs=(P(), P()),
-                out_specs=(P(axis), P()),
+                out_specs=(P(None, axis), P()),
                 check_rep=False,
             )(base_key, idx)
 
@@ -629,10 +633,11 @@ class _CompiledSamplerBase:
         else:
             num_batches = ceil(shots / batch_size)
         if self._mesh is not None:
-            # The shot axis shards across the mesh: round the batch up to a
-            # device multiple (surplus rows are trimmed after unpacking).
-            n_dev = self._mesh.devices.size
-            batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
+            # The shot axis shards across the mesh: round the batch up so
+            # every device holds a multiple of 8 shots (each shard bitplane-
+            # packs its own shots; surplus rows are trimmed after unpacking).
+            q = 8 * self._mesh.devices.size
+            batch_size = ((batch_size + q - 1) // q) * q
 
         reference: np.ndarray | None = None
         if compute_reference:
@@ -659,11 +664,12 @@ class _CompiledSamplerBase:
         max_dev = np.zeros(1, dtype=np.float32)
         row = 0
         for packed, dev_h in _drain_fetches(pending):
-            bools = np.unpackbits(
-                np.asarray(packed), axis=1, bitorder="little"
-            )[:, :num_outputs]
+            # Bitplane layout: (num_outputs, B/8) packed along shots.
             take = min(batch_size, shots - row)
-            result[row : row + take] = bools[:take]
+            planes = np.unpackbits(
+                np.asarray(packed), axis=1, bitorder="little"
+            )[:, :take]
+            result[row : row + take] = planes.T
             row += take
             max_dev = np.maximum(max_dev, np.asarray(dev_h))
         _check_norm_deviation(max_dev)
