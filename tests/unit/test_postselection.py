@@ -121,10 +121,10 @@ def test_direct_cols_always_populated():
 def test_quantum_evaluator_skipped_for_direct_discards(monkeypatch):
     s = _sampler(seed=7)
     batches = []
-    orig = sampler_mod._program_runner_hoisted
+    orig = sampler_mod._program_runner_packed
 
-    def spy(program, example_f):
-        fn = orig(program, example_f)
+    def spy(program, example_f, mesh=None):
+        fn = orig(program, example_f, mesh=mesh)
 
         def wrapped(f_params, key):
             batches.append(f_params.shape[0])
@@ -132,7 +132,7 @@ def test_quantum_evaluator_skipped_for_direct_discards(monkeypatch):
 
         return wrapped
 
-    monkeypatch.setattr(sampler_mod, "_program_runner_hoisted", spy)
+    monkeypatch.setattr(sampler_mod, "_program_runner_packed", spy)
     shots = 2000
     det = s.sample(shots, batch_size=500, postselection_mask=_mask(0))
     # Roughly 30% of shots discard before ever reaching the evaluator, and

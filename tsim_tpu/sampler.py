@@ -132,22 +132,26 @@ def _batch_step_fn(
         k_sample = jax.random.fold_in(base_key, 2 * idx + 1)
         f_params = device_channels.sample(k_noise, batch_size)
         out, dev = sample_program_with_deviation(program, f_params, k_sample)
-        # Bit-pack on device along the SHOT axis (bitplane layout): d2h
-        # carries exactly num_outputs bits per shot instead of the
-        # ceil(n/8)-byte row packing — 1.6x less tunnel traffic for the
-        # 5-output distillation workloads, and the remote tunnel's d2h
-        # bandwidth is the e2e bottleneck. Gather-free: dot with powers
-        # of two over shot groups of 8.
-        n = out.shape[1]
-        b8 = (batch_size + 7) // 8
-        planes = out.T  # (n, B)
-        if b8 * 8 != batch_size:
-            planes = jnp.pad(planes, ((0, 0), (0, b8 * 8 - batch_size)))
-        powers = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.float32)
-        packed = planes.reshape(n, b8, 8).astype(jnp.float32) @ powers
-        return packed.astype(jnp.uint8), dev
+        return _pack_bitplanes(out), dev
 
     return one
+
+
+def _pack_bitplanes(out: jax.Array) -> jax.Array:
+    """Bit-pack sample bits on device along the SHOT axis (bitplane
+    layout): d2h carries exactly num_outputs bits per shot instead of the
+    ceil(n/8)-byte row packing — 1.6x less tunnel traffic for the 5-output
+    distillation workloads, and the remote tunnel's d2h bandwidth is the
+    e2e bottleneck. Gather-free: dot with powers of two over shot groups
+    of 8. (B, n) uint8 -> (n, ceil(B/8)) uint8."""
+    batch, n = out.shape
+    b8 = (batch + 7) // 8
+    planes = out.T  # (n, B)
+    if b8 * 8 != batch:
+        planes = jnp.pad(planes, ((0, 0), (0, b8 * 8 - batch)))
+    powers = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.float32)
+    packed = planes.reshape(n, b8, 8).astype(jnp.float32) @ powers
+    return packed.astype(jnp.uint8)
 
 
 def _device_run_fn(
@@ -281,6 +285,59 @@ def _program_runner_hoisted(program: CompiledProgram, example_f):
         jax.random.key(0),
     )
     _PROGRAM_RUNNERS[key] = (fn, program)
+    return fn
+
+
+def _program_runner_packed(program: CompiledProgram, example_f, mesh=None):
+    """(f_params, key) -> (bitplane-packed samples, norm dev), optionally
+    sharding the shot axis over ``mesh`` (survivor-batching postselection
+    path; the f batch arrives from the host prefilter rather than from the
+    on-device channel sampler). Requires the per-device shot count to be a
+    multiple of 8 when sharded."""
+    key = (id(program), example_f.shape, id(mesh), "packed")
+    entry = _PROGRAM_RUNNERS.get(key)
+    if entry is not None:
+        return entry[0]
+
+    def step(f_params, k):
+        out, dev = sample_program_with_deviation(program, f_params, k)
+        return _pack_bitplanes(out), dev
+
+    if mesh is None:
+        fn = _hoisted_jit(step, example_f, jax.random.key(0))
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+        batch = example_f.shape[0]
+        if batch % (8 * n_dev):
+            raise ValueError(
+                f"sharded batch {batch} must divide by 8 * mesh size {n_dev}"
+            )
+
+        def sharded(f_params, k):
+            def body(f_blk, k_rep):
+                kk = jax.random.fold_in(k_rep, jax.lax.axis_index(axis))
+                packed, dev = step(f_blk, kk)
+                return packed, jax.lax.pmax(dev, axis)
+
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(axis), P()),
+                out_specs=(P(None, axis), P()),
+                check_rep=False,
+            )(f_params, k)
+
+        fn = _hoisted_jit(
+            sharded,
+            example_f,
+            jax.random.key(0),
+            const_sharding=NamedSharding(mesh, P()),
+        )
+    _PROGRAM_RUNNERS[key] = (fn, program, mesh)
     return fn
 
 
@@ -715,6 +772,11 @@ class _CompiledSamplerBase:
 
         if batch_size is None:
             batch_size = self._resolve_batch_size(shots, None, compute_reference=False)
+        if self._mesh is not None:
+            # Survivor batches shard over the mesh too; every device packs
+            # its own shots, so round to a multiple of 8 * n_dev.
+            q = 8 * self._mesh.devices.size
+            batch_size = ((batch_size + q - 1) // q) * q
 
         reference: np.ndarray | None = None
         if compute_reference:
@@ -735,12 +797,17 @@ class _CompiledSamplerBase:
             out_dev, dev, indices, n_valid = pending.pop(0)
             out, dev_h = jax.device_get((out_dev, dev))
             _check_norm_deviation(dev_h)
-            result[indices[:n_valid]] = np.asarray(out).view(np.bool_)[:n_valid]
+            planes = np.unpackbits(
+                np.asarray(out), axis=1, bitorder="little"
+            )[:, :n_valid]
+            result[indices[:n_valid]] = planes.T.astype(np.bool_)
 
         def _dispatch(f_batch, indices, n_valid):
             self._key, subkey = jax.random.split(self._key)
             f_dev = jnp.asarray(f_batch)
-            out_dev, dev = _program_runner_hoisted(self._program, f_dev)(f_dev, subkey)
+            out_dev, dev = _program_runner_packed(
+                self._program, f_dev, mesh=self._mesh
+            )(f_dev, subkey)
             pending.append((out_dev, dev, list(indices), n_valid))
             while len(pending) > 3:
                 _retire()
