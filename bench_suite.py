@@ -1,0 +1,112 @@
+"""Multi-workload benchmark suite: one JSON line per reference benchmark panel.
+
+Reproduces the reference's four benchmark workloads (reference
+docs/benchmarks.svg panels; BASELINE.md):
+
+  1. d=3 15-to-1 distillation (35 qubits)   - detector shots/s
+  2. d=5 distillation (85 qubits)           - detector shots/s
+  3. d=3 magic-state cultivation            - detector shots/s
+  4. d=7 rotated surface code (Clifford)    - detector shots/s
+
+``python bench_suite.py [workload ...]`` runs the named workloads (default:
+all). The headline driver metric stays in bench.py (d3 distillation only).
+"""
+
+import json
+import sys
+import time
+
+
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def _throughput(sampler, shots, batch, repeats=3, **kw):
+    sampler.sample(min(shots, batch), batch_size=batch, **kw)  # warmup/compile
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = sampler.sample(shots, batch_size=batch, **kw)
+        dt = time.perf_counter() - t0
+        n = out[0].shape[0] if isinstance(out, tuple) else out.shape[0]
+        assert n == shots
+        best = max(best, shots / dt)
+        _log(f"  run: {shots / dt:.0f} shots/s")
+    return best
+
+
+def bench_d3_distillation():
+    from tsim_tpu.models.distillation import distillation_d3
+
+    s = distillation_d3(p=0.05).compile_detector_sampler(seed=0)
+    return _throughput(s, 16 << 20, 1 << 20), "shots/s"
+
+
+def bench_d5_distillation():
+    from tsim_tpu.models.distillation import distillation_d5
+
+    s = distillation_d5(p=0.02).compile_detector_sampler(seed=0)
+    return _throughput(s, 4 << 20, 1 << 19), "shots/s"
+
+
+def bench_d3_cultivation():
+    from tsim_tpu.models.cultivation import cultivation_d3
+
+    _log("cultivation compile (minutes on first run)...")
+    s = cultivation_d3(p=0.001).compile_detector_sampler(seed=0)
+    return (
+        _throughput(
+            s, 1 << 18, 1 << 16, use_detector_reference_sample=True
+        ),
+        "shots/s",
+    )
+
+
+def bench_d7_surface_code():
+    from tsim_tpu.models.surface_code import rotated_surface_code_memory_z
+
+    c = rotated_surface_code_memory_z(
+        7, 7, after_clifford_depolarization=0.001,
+        before_measure_flip_probability=0.001,
+        after_reset_flip_probability=0.001,
+    )
+    s = c.compile_detector_sampler(seed=0)
+    # First runs pay this box's pathological first-touch page-fault cost
+    # on the multi-GB outputs; steady state reuses freed blocks.
+    return _throughput(s, 4 << 20, 4 << 20, repeats=4), "shots/s"
+
+
+WORKLOADS = {
+    "d3_distillation": bench_d3_distillation,
+    "d5_distillation": bench_d5_distillation,
+    "d3_cultivation": bench_d3_cultivation,
+    "d7_surface_code": bench_d7_surface_code,
+}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    names = sys.argv[1:] or list(WORKLOADS)
+    for name in names:
+        _log(f"=== {name} ===")
+        t0 = time.perf_counter()
+        value, unit = WORKLOADS[name]()
+        print(
+            json.dumps(
+                {
+                    "metric": name,
+                    "value": round(value, 1),
+                    "unit": unit,
+                    "total_s": round(time.perf_counter() - t0, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -156,6 +156,57 @@ extern "C" void tsim_bit_transpose(const uint64_t* in, int64_t rows,
   }
 }
 
+// Transpose + expand in one pass: row-major bit rows (rows, W words) into
+// shot-major uint8 0/1 rows out[s * rows + r] for s < shots. Replaces the
+// numpy transpose + unpackbits epilogue, which dominated end-to-end
+// Clifford sampling (np.unpackbits ran at ~150 MB/s; a spread-LUT write
+// runs at memory bandwidth).
+// ``out_stride``: bytes between consecutive shots' rows (= ``rows`` for a
+// dense (shots, rows) array; larger when writing into a column slice of a
+// wider joined output).
+extern "C" void tsim_unpack_rows(const uint64_t* in, int64_t rows, int64_t W,
+                                 int64_t shots, uint8_t* out,
+                                 int64_t out_stride) {
+  static uint64_t lut[256];
+  static bool lut_init = false;
+  if (!lut_init) {
+    for (int b = 0; b < 256; b++) {
+      uint64_t v = 0;
+      for (int j = 0; j < 8; j++) v |= (uint64_t)((b >> j) & 1) << (8 * j);
+      lut[b] = v;
+    }
+    lut_init = true;
+  }
+  const int64_t row_blocks = (rows + 63) >> 6;
+  uint64_t block[64];
+  for (int64_t rb = 0; rb < row_blocks; rb++) {
+    const int64_t r0 = rb << 6;
+    const int64_t nr = rows - r0 < 64 ? rows - r0 : 64;
+    const int64_t nbytes = (nr + 7) >> 3;  // output bytes per shot, block rb
+    for (int64_t w = 0; w < W; w++) {
+      for (int64_t r = 0; r < nr; r++) block[r] = in[(r0 + r) * W + w];
+      for (int64_t r = nr; r < 64; r++) block[r] = 0;
+      transpose64(block);
+      const int64_t s0 = w << 6;
+      const int64_t ns = shots - s0 < 64 ? shots - s0 : 64;
+      for (int64_t s = 0; s < ns; s++) {
+        uint8_t* dst = out + (s0 + s) * out_stride + r0;
+        uint64_t bits = block[s];
+        int64_t byte = 0;
+        for (; byte + 1 < nbytes; byte++) {
+          uint64_t v = lut[(bits >> (8 * byte)) & 0xff];
+          std::memcpy(dst + 8 * byte, &v, 8);
+        }
+        // Last byte of the block may spill past `rows`: write singly.
+        const int64_t rem = nr - 8 * byte;
+        uint64_t v = lut[(bits >> (8 * byte)) & 0xff];
+        for (int64_t j = 0; j < rem; j++)
+          dst[8 * byte + j] = (uint8_t)(v >> (8 * j));
+      }
+    }
+  }
+}
+
 // Opcodes (must match native_frame.py).
 enum : int32_t {
   OP_GATE1 = 0,

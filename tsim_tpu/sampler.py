@@ -667,13 +667,17 @@ class _CompiledSamplerBase:
             if use_native:
                 native = self._native_frame_sampler()
                 if native is not None:
-                    rec, dets, obs = native.sample(
-                        shots, include_measurements=not self._sample_detectors
-                    )
                     if self._sample_detectors:
-                        dets = dets ^ self._native_baseline()
-                        samples = np.concatenate([dets, obs], axis=1)
+                        # Joined single-allocation layout + in-place
+                        # baseline XOR: at benchmark shot counts the output
+                        # is multi-GB and every extra pass is seconds.
+                        samples = native.sample_det_obs_joined(shots)
+                        nd = self._num_detectors
+                        samples[:, :nd] ^= self._native_baseline()
                     else:
+                        rec, _, _ = native.sample(
+                            shots, include_measurements=True
+                        )
                         samples = rec
                     if compute_reference:
                         return samples, self._compute_reference_sample()

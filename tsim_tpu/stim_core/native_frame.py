@@ -101,6 +101,12 @@ class NativeFrameSampler:
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
         ]
+        up = self._lib.tsim_unpack_rows
+        up.restype = None
+        up.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
         self._rng = np.random.default_rng(seed)
         self.ref = reference_sample(self.circuit)
         self.n = max(self.circuit.num_qubits, 1)
@@ -275,6 +281,28 @@ class NativeFrameSampler:
         transpose/unpack (the dominant cost for detector sampling) and
         returns ``None`` in its slot.
         """
+        rec, dets, obs = self._run(shots)
+        return (
+            self._unpack(rec, self.num_meas, shots, bit_packed)
+            if include_measurements
+            else None,
+            self._unpack(dets, self.num_det, shots, bit_packed),
+            self._unpack(obs, self.num_obs, shots, bit_packed),
+        )
+
+    def sample_det_obs_joined(self, shots: int) -> np.ndarray:
+        """(shots, num_det + num_obs) bool — detectors and observables
+        expanded into ONE output array (single allocation + single pass;
+        the separate-then-concatenate layout costs two extra passes over
+        multi-GB arrays at benchmark shot counts)."""
+        _, dets, obs = self._run(shots)
+        total = self.num_det + self.num_obs
+        out = np.empty((shots, max(total, 1)), dtype=np.uint8)
+        self._unpack_into(dets, self.num_det, shots, out, 0)
+        self._unpack_into(obs, self.num_obs, shots, out, self.num_det)
+        return out[:, :total].view(np.bool_)
+
+    def _run(self, shots: int):
         W = (shots + 63) >> 6
         rec = np.zeros((max(self.num_meas, 1), W), dtype=np.uint64)
         dets = np.zeros((max(self.num_det, 1), W), dtype=np.uint64)
@@ -290,12 +318,19 @@ class NativeFrameSampler:
             dets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             obs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         )
-        return (
-            self._unpack(rec, self.num_meas, shots, bit_packed)
-            if include_measurements
-            else None,
-            self._unpack(dets, self.num_det, shots, bit_packed),
-            self._unpack(obs, self.num_obs, shots, bit_packed),
+        return rec, dets, obs
+
+    def _unpack_into(self, packed, n_rows, shots, out_u8, col0) -> None:
+        """Expand packed bit rows into columns [col0, col0+n_rows) of the
+        C-contiguous uint8 array ``out_u8``."""
+        if n_rows == 0:
+            return
+        base = ctypes.cast(
+            out_u8.ctypes.data + col0, ctypes.POINTER(ctypes.c_uint8)
+        )
+        self._lib.tsim_unpack_rows(
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            n_rows, packed.shape[1], shots, base, out_u8.shape[1],
         )
 
     def _unpack(self, packed, n_rows, shots, bit_packed):
@@ -304,19 +339,21 @@ class NativeFrameSampler:
                 return np.zeros((shots, 0), dtype=np.uint8)
             return np.zeros((shots, 0), dtype=bool)
         W = packed.shape[1]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        if not bit_packed:
+            # Fused C transpose + spread-LUT expansion straight to the
+            # (shots, n_rows) boolean layout; np.unpackbits on the packed
+            # rows ran ~10x slower than memory bandwidth.
+            out = np.empty((shots, n_rows), dtype=np.uint8)
+            self._unpack_into(packed, n_rows, shots, out, 0)
+            return out.view(np.bool_)
         stride = (n_rows + 63) >> 6  # words per shot-major row
         out = np.zeros((W * 64, stride), dtype=np.uint64)
-        u64p = ctypes.POINTER(ctypes.c_uint64)
         self._lib.tsim_bit_transpose(
             packed.ctypes.data_as(u64p), n_rows, W,
             out.ctypes.data_as(u64p), stride,
         )
         row_bytes = (n_rows + 7) >> 3
-        packed_rows = np.ascontiguousarray(
+        return np.ascontiguousarray(
             out.view(np.uint8).reshape(W * 64, stride * 8)[:shots, :row_bytes]
         )
-        if bit_packed:
-            return packed_rows
-        return np.unpackbits(packed_rows, axis=1, bitorder="little")[
-            :, :n_rows
-        ].view(np.bool_)

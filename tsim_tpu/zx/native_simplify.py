@@ -69,6 +69,9 @@ class _Encoder:
         self.names: list[str] = ["1"]
         self.ids: dict[str, int] = {"1": 0}
         self.ok = True
+        # Param sets repeat heavily across vertices/scalar terms; var ids
+        # are stable within one encoder, so cache the encoded id runs.
+        self._pset_cache: dict[frozenset, tuple] = {}
 
     def var(self, name: str) -> int:
         i = self.ids.get(name)
@@ -79,6 +82,13 @@ class _Encoder:
         return i
 
     def pset(self, params) -> None:
+        if isinstance(params, frozenset):
+            run = self._pset_cache.get(params)
+            if run is None:
+                run = (len(params), *sorted(self.var(p) for p in params))
+                self._pset_cache[params] = run
+            self.ints.extend(run)
+            return
         self.ints.append(len(params))
         self.ints.extend(sorted(self.var(p) for p in params))
 
@@ -150,6 +160,10 @@ def encode_graph(g: ZXGraph, enc: _Encoder) -> None:
         enc.pset(pp.paramsB)
 
 
+_EMPTY_PSET: frozenset = frozenset()
+_FRAC_CACHE: dict[tuple[int, int], Fraction] = {}
+
+
 class _Decoder:
     def __init__(self, ints, floats, names):
         self.ints = ints
@@ -157,6 +171,9 @@ class _Decoder:
         self.names = names
         self.i = 0
         self.f = 0
+        # Decoded sets/fractions repeat heavily; returning shared interned
+        # objects both skips construction and speeds downstream hashing.
+        self._pset_cache: dict[tuple, frozenset] = {}
 
     def next(self) -> int:
         v = self.ints[self.i]
@@ -170,12 +187,29 @@ class _Decoder:
 
     def pset(self) -> frozenset:
         n = self.next()
-        return frozenset(self.names[self.next()] for _ in range(n))
+        if n == 0:
+            return _EMPTY_PSET
+        i = self.i
+        self.i = i + n
+        key = tuple(self.ints[i : i + n])
+        cached = self._pset_cache.get(key)
+        if cached is None:
+            names = self.names
+            cached = frozenset(names[k] for k in key)
+            self._pset_cache[key] = cached
+        return cached
 
     def frac(self) -> Fraction:
         n = self.next()
         d = self.next()
-        return Fraction(n, d)
+        key = (n, d)
+        cached = _FRAC_CACHE.get(key)
+        if cached is None:
+            if len(_FRAC_CACHE) > 1 << 16:
+                _FRAC_CACHE.clear()
+            cached = Fraction(n, d)
+            _FRAC_CACHE[key] = cached
+        return cached
 
 
 def decode_graph(dec: _Decoder, g: ZXGraph) -> None:
