@@ -182,6 +182,148 @@ def main():
         POLICIES[name]()
         run(g, name)
         dc._find_projector_gadget_pair = _orig_find
+        sr.replace_magic_states = _orig_replace
+
+
+
+
+def _pairvec(g, h1, t1, h2, t2):
+    D = t1 ^ t2
+    Qd = frozenset(g.get_params(h1)) ^ frozenset(g.get_params(h2))
+    return frozenset(D) | frozenset(("param", p) for p in Qd)
+
+
+def _reduce_vec(basis, vec):
+    v = set(vec)
+    while v:
+        piv = max(v, key=str)
+        if piv in basis:
+            v ^= basis[piv]
+        else:
+            return piv, v
+    return None, v
+
+
+def _minrank_matching(g, gadgets, strict):
+    """Greedy perfect-matching minimizing GF(2) rank of pair symdiff vectors.
+
+    Returns list of (l1, h1, l2, h2) in selection order."""
+    allowed = []
+    for i, (l1, h1, t1) in enumerate(gadgets):
+        for j in range(i + 1, len(gadgets)):
+            l2, h2, t2 = gadgets[j]
+            ok, conj, eqp = _pair_ok(g, l1, h1, t1, l2, h2, t2, strict)
+            if not ok:
+                continue
+            static = (2000 if eqp else 0) + (1000 if conj else 0) + 10 * len(t1 & t2) - len(t1 ^ t2)
+            allowed.append((i, j, static, _pairvec(g, h1, t1, h2, t2)))
+    unmatched = set(range(len(gadgets)))
+    basis = {}
+    chosen = []
+    while len(unmatched) > 1:
+        best = None
+        for (i, j, static, vec) in allowed:
+            if i not in unmatched or j not in unmatched:
+                continue
+            piv, v = _reduce_vec(basis, vec)
+            key = (0 if piv is None else 1, len(v), -static)
+            if best is None or key < best[0]:
+                best = (key, i, j, piv, v)
+        if best is None:
+            break
+        _, i, j, piv, v = best
+        if piv is not None:
+            basis[piv] = v
+        gi, gj = gadgets[i], gadgets[j]
+        chosen.append((gi[0], gi[1], gj[0], gj[1]))
+        unmatched -= {i, j}
+    return chosen
+
+
+@policy("minrank")
+def p_minrank():
+    def find(g, ts, strict=True):
+        gadgets = _gadgets(g, ts)
+        if not gadgets:
+            return None
+        chosen = _minrank_matching(g, gadgets, strict)
+        if not chosen:
+            return None
+        return chosen[0]
+
+    dc._find_projector_gadget_pair = find
+
+
+@policy("minrank_first")
+def p_minrank_first():
+    """minrank selection AND projector split takes precedence over the
+    conjugate 3-term split (TSIM_TPU_PROJ_SPLIT=before equivalent)."""
+    p_minrank()
+    dc._PROJ_ORDER = "before"
+
+
+
+
+def _gadgetize_plain_ts(g):
+    from fractions import Fraction as _F
+    from tsim_tpu.zx.graph import Z as _Z, HADAMARD as _H
+    from tsim_tpu.zx.decompose import _all_h as allh
+    ts = [v for v in g.vertices() if g.phase(v).denominator == 4]
+    changed = False
+    for v in list(ts):
+        if g.type(v) != _Z or g.is_boundary_registered(v):
+            continue
+        if g.degree(v) == 1 and allh(g, v):
+            continue  # already a gadget leaf
+        if not allh(g, v):
+            continue
+        a = g.phase(v); P = g.get_params(v)
+        g.set_phase(v, 0)
+        g.set_params(v, ())
+        hub = g.add_vertex(_Z, qubit=g.qubit(v) - 0.5, row=g.row(v))
+        leaf = g.add_vertex(_Z, qubit=g.qubit(v) - 1.0, row=g.row(v), phase=a)
+        g.set_params(leaf, P)
+        g.add_edge((v, hub), _H)
+        g.add_edge((hub, leaf), _H)
+        changed = True
+    return changed
+
+
+_orig_replace = dc.replace_magic_states
+
+
+import tsim_tpu.compile.stabrank as sr
+
+
+def _make_gadgetize_replace(find):
+    def replace(g, pick_random=False, strategy="cat5"):
+        ts_all = dc._t_vertices(g)
+        if ts_all and strategy == "cat5":
+            _gadgetize_plain_ts(g)
+            ts2 = dc._t_vertices(g)
+            motif = find(g, ts2, strict=True)
+            if motif is None:
+                motif = find(g, ts2, strict=False)
+            if motif is not None:
+                return dc.split_gadget_pair_projector(g, *motif)
+        return _orig_replace(g, pick_random, strategy)
+    return replace
+
+
+@policy("gadgetize")
+def p_gadgetize():
+    sr.replace_magic_states = _make_gadgetize_replace(_orig_find)
+
+
+@policy("gadgetize_minrank")
+def p_gadgetize_minrank():
+    def find(g, ts, strict=True):
+        gadgets = _gadgets(g, ts)
+        if not gadgets:
+            return None
+        chosen = _minrank_matching(g, gadgets, strict)
+        return chosen[0] if chosen else None
+    sr.replace_magic_states = _make_gadgetize_replace(find)
 
 
 if __name__ == "__main__":

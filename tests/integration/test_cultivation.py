@@ -49,3 +49,18 @@ def test_noiseless_compiled_detectors_deterministic():
     det, obs = sampler.sample(3000, batch_size=3000, separate_observables=True)
     assert det.sum() == 0
     assert abs(obs.mean() - OBS_MEAN) < 0.03
+
+
+def test_cultivation_term_count_budget():
+    """The planned joint pair-projector decomposition keeps the d=3
+    cultivation benchmark far below the reference's published 1024-term
+    workload (reference ``docs/benchmarks.svg`` panel 3): the full ladder
+    compiles to a few hundred graphs total, with the largest plugged
+    circuit at 2^rank = 128 terms."""
+    sampler = cultivation_d3(p=0.001).compile_detector_sampler(seed=0)
+    total = sum(
+        csg.num_graphs
+        for comp in sampler._program.components
+        for csg in comp.compiled_scalar_graphs
+    )
+    assert total < 1200, total

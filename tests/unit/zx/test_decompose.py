@@ -293,3 +293,124 @@ class TestGadgetPairProjector:
             g.add_edge((h2, t), HADAMARD)
         _add_boundaries(rng, g, vs)
         assert_sum_equiv(g, split_gadget_pair_projector(g.copy(), l1, h1, l2, h2))
+
+
+class TestGadgetize:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_unfuse_identity(self, seed):
+        """Z_E(a + pi P) == Z_E(0) --H-- Z(0) --H-- Z_1(a + pi P), exactly."""
+        from tsim_tpu.zx.decompose import gadgetize_magic
+
+        rng = np.random.default_rng(seed)
+        g = ZXGraph()
+        vs = _random_clifford_core(rng, g, n=5)
+        for v in vs[:3]:
+            g.set_phase(v, [Fraction(1, 4), Fraction(7, 4)][int(rng.integers(2))])
+        _add_boundaries(rng, g, vs)
+        g2 = g.copy()
+        assert gadgetize_magic(g2)
+        for vals in ASSIGN:
+            np.testing.assert_allclose(
+                np.asarray(graph_to_tensor(g, vals=vals)),
+                np.asarray(graph_to_tensor(g2, vals=vals)),
+                atol=1e-8,
+            )
+
+
+class TestApplyPairProjector:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_branches_sum(self, seed):
+        """c=0 plus c=1 branches of the in-place projector split sum to the
+        original diagram (the GraphSum wrapper delegates to the in-place
+        form, so this pins both)."""
+        from tsim_tpu.zx.decompose import (
+            _find_projector_gadget_pair,
+            _t_vertices,
+            split_gadget_pair_projector,
+        )
+
+        rng = np.random.default_rng(seed)
+        g = ZXGraph()
+        vs = _random_clifford_core(rng, g, n=4)
+        for k in range(2):
+            hub = g.add_vertex(Z)
+            leaf = g.add_vertex(
+                Z, phase=[Fraction(1, 4), Fraction(7, 4)][int(rng.integers(2))]
+            )
+            if rng.random() < 0.5:
+                g.set_params(leaf, {PARAMS[int(rng.integers(2))]})
+            if rng.random() < 0.5:
+                g.set_params(hub, {PARAMS[int(rng.integers(2))]})
+            g.add_edge((hub, leaf), HADAMARD)
+            for t in rng.permutation(vs)[: 2 + k]:
+                g.add_edge((hub, int(t)), HADAMARD)
+        _add_boundaries(rng, g, vs)
+        motif = _find_projector_gadget_pair(g, _t_vertices(g), strict=False)
+        assert motif is not None
+        assert_sum_equiv(g, split_gadget_pair_projector(g.copy(), *motif))
+
+
+class TestPlannedDecomposition:
+    @pytest.mark.parametrize("seed", range(10))
+    def test_oracle(self, seed):
+        """Planned joint decomposition sums exactly to the original tensor
+        for every parameter assignment."""
+        from tsim_tpu.zx.decompose import planned_magic_decomposition
+
+        rng = np.random.default_rng(seed)
+        g = ZXGraph()
+        vs = _random_clifford_core(rng, g, n=5)
+        for v in vs[:4]:
+            g.set_phase(
+                v, [Fraction(1, 4), Fraction(3, 4), Fraction(5, 4)][int(rng.integers(3))]
+            )
+        for k in range(2):
+            hub = g.add_vertex(Z)
+            leaf = g.add_vertex(
+                Z, phase=[Fraction(1, 4), Fraction(7, 4)][int(rng.integers(2))]
+            )
+            if rng.random() < 0.5:
+                g.set_params(leaf, {PARAMS[int(rng.integers(2))]})
+            g.add_edge((hub, leaf), HADAMARD)
+            for t in rng.permutation(vs)[: 2 + k]:
+                g.add_edge((hub, int(t)), HADAMARD)
+        _add_boundaries(rng, g, vs)
+        leaves = planned_magic_decomposition(g, max_rank=14, restarts=4)
+        if leaves is None:
+            pytest.skip("planner declined (too few pairable gadgets)")
+        for vals in ASSIGN:
+            tb = np.asarray(graph_to_tensor(g, vals=vals))
+            ta = sum(
+                np.asarray(graph_to_tensor(gg, vals=vals)) for gg in leaves
+            ) if leaves else np.zeros_like(tb)
+            np.testing.assert_allclose(tb, ta, atol=1e-8)
+
+    def test_all_leaves_clifford_on_cultivation_shape(self):
+        """Paired mirror gadgets (the doubled-diagram motif) decompose with
+        zero residual magic and 2^rank leaves."""
+        from tsim_tpu.zx.decompose import planned_magic_decomposition
+
+        g = ZXGraph()
+        body = [g.add_vertex(Z) for _ in range(4)]
+        for a, b in itertools.combinations(body, 2):
+            g.add_edge((a, b), HADAMARD)
+        # two mirror pairs: supports differ by one shared vertex
+        for supports, phase in [
+            ((body[0], body[1]), Fraction(1, 4)),
+            ((body[0], body[1], body[2]), Fraction(7, 4)),
+            ((body[1], body[3]), Fraction(1, 4)),
+            ((body[1], body[2], body[3]), Fraction(7, 4)),
+        ]:
+            hub = g.add_vertex(Z)
+            leaf = g.add_vertex(Z, phase=phase)
+            g.add_edge((hub, leaf), HADAMARD)
+            for t in supports:
+                g.add_edge((hub, t), HADAMARD)
+        _add_boundaries(np.random.default_rng(0), g, body)
+        leaves = planned_magic_decomposition(g, max_rank=14, restarts=4)
+        assert leaves is not None
+        assert all(tcount(gg) == 0 for gg in leaves)
+        for vals in ASSIGN:
+            tb = np.asarray(graph_to_tensor(g, vals=vals))
+            ta = sum(np.asarray(graph_to_tensor(gg, vals=vals)) for gg in leaves)
+            np.testing.assert_allclose(tb, ta, atol=1e-8)

@@ -9,7 +9,13 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
-from ..zx.decompose import replace_magic_states, replace_u3_states, tcount, u3_count
+from ..zx.decompose import (
+    planned_magic_decomposition,
+    replace_magic_states,
+    replace_u3_states,
+    tcount,
+    u3_count,
+)
 from ..zx.graph import ZXGraph
 from ..zx.simplify import full_reduce
 
@@ -55,8 +61,36 @@ def _decompose(graphs: Sequence[ZXGraph], count_fn, replace_fn) -> list[ZXGraph]
 
 
 def find_stab_magic(graphs: Iterable[ZXGraph], strategy: str) -> list[ZXGraph]:
+    pending = list(graphs)
+    if strategy == "cat5":
+        # Planned joint pair-projector pass first: gadgetize every magic
+        # phase, plan a min-rank perfect matching, and enumerate only the
+        # GF(2)-consistent branch assignments (2^rank leaves directly).
+        # Graphs the planner declines fall through to per-pair recursion.
+        recurse: list[ZXGraph] = []
+        results: list[ZXGraph] = []
+        while pending:
+            g = pending.pop()
+            if tcount(g) == 0:
+                results.append(g)
+                continue
+            leaves = planned_magic_decomposition(g)
+            if leaves is None:
+                recurse.append(g)
+            else:
+                pending.extend(leaves)
+        results.extend(
+            _decompose(
+                recurse,
+                count_fn=tcount,
+                replace_fn=lambda g: replace_magic_states(
+                    g, pick_random=False, strategy=strategy
+                ),
+            )
+        )
+        return merge_equal_states(results) if len(results) > 1 else results
     return _decompose(
-        list(graphs),
+        pending,
         count_fn=tcount,
         replace_fn=lambda g: replace_magic_states(g, pick_random=False, strategy=strategy),
     )

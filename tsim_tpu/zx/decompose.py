@@ -214,6 +214,38 @@ def split_conjugate_gadget_pair(
     return GraphSum([gE, gO1, gO2])
 
 
+def apply_pair_projector(
+    g: ZXGraph, l1: int, h1: int, l2: int, h2: int, c: int
+) -> None:
+    """One branch (``c`` = 0 equality / 1 anti-equality) of the gadget-pair
+    parity-projector split, mutating ``g`` in place. See
+    :func:`split_gadget_pair_projector` for the derivation; both branches
+    together sum exactly to the original diagram."""
+    a1 = g.phase(l1)
+    a2 = g.phase(l2)
+    P1 = frozenset(g.get_params(l1))
+    Pd = P1 ^ frozenset(g.get_params(l2))
+    Qd = frozenset(g.get_params(h1)) ^ frozenset(g.get_params(h2))
+    T1 = set(g.neighbors(h1)) - {l1}
+    T2 = set(g.neighbors(h2)) - {l2}
+    D = T1 ^ T2
+    qrow = (g.row(h1) + g.row(h2)) / 2
+    qq = g.qubit(h1) - 0.5
+    g.remove_vertex(l1)
+    g.remove_vertex(h1)
+    g.set_phase(l2, ((a1 + a2) if c == 0 else (a2 - a1)) % 2)
+    g.set_params(l2, Pd)
+    hub = g.add_vertex(Z, qubit=qq, row=qrow, phase=Fraction(c))
+    g.set_params(hub, Qd)
+    for t in D:
+        g.add_edge((hub, t), HADAMARD)
+    g.scalar.add_power(len(D) - len(T1) - 1)
+    if c:
+        g.scalar.add_phase(a1)
+        if P1:
+            g.scalar.add_pi_var(P1)
+
+
 def split_gadget_pair_projector(
     g: ZXGraph, l1: int, h1: int, l2: int, h2: int
 ) -> GraphSum:
@@ -245,51 +277,16 @@ def split_gadget_pair_projector(
     instead of accumulating residual hubs: 2^(T/2) worst case with far
     stronger in-flight merging. Oracle-verified in tests/unit/zx.
     """
-    a1 = g.phase(l1)
-    a2 = g.phase(l2)
-    P1 = frozenset(g.get_params(l1))
-    P2 = frozenset(g.get_params(l2))
-    Pd = P1 ^ P2
-    Q1 = frozenset(g.get_params(h1))
-    Q2 = frozenset(g.get_params(h2))
-    T1 = set(g.neighbors(h1)) - {l1}
-    T2 = set(g.neighbors(h2)) - {l2}
-    D = T1 ^ T2
-    Qd = Q1 ^ Q2
-    qrow = (g.row(h1) + g.row(h2)) / 2
-    qq = g.qubit(h1) - 0.5
-
-    def branch(c: int, leaf_phase: Fraction) -> ZXGraph:
-        gg = g.copy()
-        gg.remove_vertex(l1)
-        gg.remove_vertex(h1)
-        gg.set_phase(l2, leaf_phase % 2)
-        gg.set_params(l2, Pd)
-        hub = gg.add_vertex(Z, qubit=qq, row=qrow, phase=Fraction(c))
-        gg.set_params(hub, Qd)
-        for t in D:
-            gg.add_edge((hub, t), HADAMARD)
-        gg.scalar.add_power(len(D) - len(T1) - 1)
-        return gg
-
-    gE = branch(0, a1 + a2)
-    gO = branch(1, a2 - a1)
-    gO.scalar.add_phase(a1)
-    if P1:
-        gO.scalar.add_pi_var(P1)
+    gE = g.copy()
+    apply_pair_projector(gE, l1, h1, l2, h2, 0)
+    gO = g.copy()
+    apply_pair_projector(gO, l1, h1, l2, h2, 1)
     return GraphSum([gE, gO])
 
 
-def _find_projector_gadget_pair(g: ZXGraph, ts: list[int], strict: bool = True):
-    """(l1, h1, l2, h2) for a projector-splittable gadget pair.
-
-    ``strict`` restricts to pairs with equal leaf params whose phases sum
-    or cancel to a multiple of pi (doubled-diagram ket/bra mirrors) —
-    measured to merge best on the cultivation ladder; the loose tier
-    accepts any odd-eighth-turn pair and runs only when no strict match
-    exists. Prefers conjugate pairs with maximal support overlap (small
-    symdiff keeps the projector local).
-    """
+def _projector_gadgets(g: ZXGraph, ts: list[int]):
+    """All magic phase gadgets eligible for projector splitting, as
+    ``(leaf, hub, frozenset(targets))`` triples."""
     gadgets = []
     for v in ts:
         if g.degree(v) != 1 or not _all_h(g, v):
@@ -303,6 +300,20 @@ def _find_projector_gadget_pair(g: ZXGraph, ts: list[int], strict: bool = True):
         if any(g.type(t) != Z or g.is_boundary_registered(t) for t in targets):
             continue
         gadgets.append((v, h, targets))
+    return gadgets
+
+
+def _find_projector_gadget_pair(g: ZXGraph, ts: list[int], strict: bool = True):
+    """(l1, h1, l2, h2) for a projector-splittable gadget pair.
+
+    ``strict`` restricts to pairs with equal leaf params whose phases sum
+    or cancel to a multiple of pi (doubled-diagram ket/bra mirrors) —
+    measured to merge best on the cultivation ladder; the loose tier
+    accepts any odd-eighth-turn pair and runs only when no strict match
+    exists. Prefers conjugate pairs with maximal support overlap (small
+    symdiff keeps the projector local).
+    """
+    gadgets = _projector_gadgets(g, ts)
     best = None
     for i, (l1, h1, t1) in enumerate(gadgets):
         for l2, h2, t2 in gadgets[i + 1 :]:
@@ -653,3 +664,216 @@ def replace_u3_states(g: ZXGraph, strategy: str = "cat5") -> GraphSum:
     if best is not None:
         return split_conjugate_pair(g, best[1], best[2])
     return cut_vertex(g, u3s[0])
+
+
+# ---------------------------------------------------------------------------
+# Planned joint pair-projector decomposition
+#
+# Instead of splitting one gadget pair per recursion level (2^pairs branches
+# pruned only by zero-scalar detection), plan a perfect matching of ALL magic
+# gadgets up front and enumerate only the branch assignments consistent with
+# the GF(2) structure of the pairs' parity constraints.
+#
+# Each pair split introduces the constraint ``parity(D_p) = c_p xor
+# parity(Qd_p)`` (D_p = target symdiff, Qd_p = hub-param symdiff). Over all
+# assignments of values to the underlying vertices, the reachable c-vectors
+# form an affine subspace of dimension rank{(D_p | Qd_p)} over GF(2): for
+# every dependency ``xor_S (D_p | Qd_p) = 0`` only ``xor_S c_p = 0``
+# branches are nonzero. Enumerating exactly that subspace yields 2^rank
+# leaves directly — no decomposition tree, no zero-branch waste. On the d=3
+# cultivation benchmark this gives 128 terms where per-pair recursion gave
+# 4051 and the reference's published workload has 1024 (reference
+# ``docs/benchmarks.svg`` panel 3).
+# ---------------------------------------------------------------------------
+
+
+def gadgetize_magic(g: ZXGraph) -> bool:
+    """Unfuse every non-gadget magic (odd pi/4) phase into a phase gadget.
+
+    ``Z_E(a + pi P)  =  Z_E(0) --H-- Z(0) --H-- Z_1(a + pi P)`` exactly (no
+    scalar: the hub's two Hadamards contract to a delta). Oracle-verified in
+    tests/unit/zx. Returns True if anything changed.
+    """
+    changed = False
+    for v in list(g.vertices()):
+        if _effective_denominator(g, v) != 4:
+            continue
+        if g.type(v) != Z or g.is_boundary_registered(v) or not _all_h(g, v):
+            continue
+        if g.degree(v) == 1:
+            (h,) = g.neighbors(v)
+            if g.type(h) == Z and g.degree(h) >= 2:
+                continue  # already a gadget leaf
+        a = g.phase(v)
+        P = g.get_params(v)
+        g.set_phase(v, 0)
+        g.set_params(v, ())
+        hub = g.add_vertex(Z, qubit=g.qubit(v) - 0.5, row=g.row(v))
+        leaf = g.add_vertex(Z, qubit=g.qubit(v) - 1.0, row=g.row(v), phase=a)
+        g.set_params(leaf, P)
+        g.add_edge((v, hub), HADAMARD)
+        g.add_edge((hub, leaf), HADAMARD)
+        changed = True
+    return changed
+
+
+def _reduce_gf2(basis: dict, vec: frozenset):
+    """Reduce ``vec`` against ``basis`` (pivot -> vector); returns
+    (pivot, reduced) with pivot None when dependent."""
+    v = set(vec)
+    while v:
+        piv = max(v, key=str)
+        b = basis.get(piv)
+        if b is None:
+            return piv, v
+        v ^= b
+    return None, v
+
+
+def plan_projector_cover(
+    g: ZXGraph, gadgets, restarts: int = 12
+) -> list[tuple]:
+    """Greedy min-rank perfect matching over projector-splittable pairs.
+
+    Returns a list of ``(i, j, vec)`` gadget-index pairs with their
+    constraint vectors (vertex ids plus ("param", name) coordinates),
+    minimizing the GF(2) rank of the chosen vectors over randomized
+    restarts. Pairs whose symdiff D contains another chosen pair's leaf or
+    hub are dropped (their constraint coordinates would be removed by the
+    other split).
+    """
+    import random
+
+    n = len(gadgets)
+    allowed = []
+    for i in range(n):
+        l1, h1, t1 = gadgets[i]
+        for j in range(i + 1, n):
+            l2, h2, t2 = gadgets[j]
+            if h2 in t1 or h1 in t2 or l2 in t1 or l1 in t2:
+                continue
+            if ((g.phase(l1) + g.phase(l2)) % 2).denominator > 2:
+                continue
+            if ((g.phase(l1) - g.phase(l2)) % 2).denominator > 2:
+                continue
+            D = t1 ^ t2
+            Qd = frozenset(g.get_params(h1)) ^ frozenset(g.get_params(h2))
+            vec = frozenset(D) | frozenset(("param", p) for p in Qd)
+            allowed.append((i, j, vec))
+    if not allowed:
+        return []
+    best = None
+    for seed in range(restarts):
+        order = list(allowed)
+        random.Random(seed).shuffle(order)
+        unmatched = set(range(n))
+        basis: dict = {}
+        chosen = []
+        rank = 0
+        while len(unmatched) > 1:
+            pick = None
+            for (i, j, vec) in order:
+                if i not in unmatched or j not in unmatched:
+                    continue
+                piv, v = _reduce_gf2(basis, vec)
+                key = (0 if piv is None else 1, len(v))
+                if pick is None or key < pick[0]:
+                    pick = (key, i, j, piv, v, vec)
+                    if key == (0, 0):
+                        break
+            if pick is None:
+                break
+            _, i, j, piv, v, vec = pick
+            if piv is not None:
+                basis[piv] = v
+                rank += 1
+            chosen.append((i, j, vec))
+            unmatched -= {i, j}
+        score = (rank, n - 2 * len(chosen))
+        if best is None or score < best[0]:
+            best = (score, chosen)
+    chosen = best[1]
+    # Drop pairs whose D references another chosen pair's removed vertices.
+    lh = set()
+    for (i, j, _) in chosen:
+        lh |= {gadgets[i][0], gadgets[i][1], gadgets[j][0], gadgets[j][1]}
+    valid = []
+    for (i, j, vec) in chosen:
+        own = {gadgets[i][0], gadgets[i][1], gadgets[j][0], gadgets[j][1]}
+        D = {x for x in vec if not isinstance(x, tuple)}
+        if D & (lh - own):
+            continue
+        valid.append((i, j, vec))
+    return valid
+
+
+def _consistent_assignments(vectors: list[frozenset], max_rank: int):
+    """Enumerate the affine subspace of consistent branch choices.
+
+    Returns a list of c-tuples (one bit per pair), or None when the rank
+    exceeds ``max_rank``."""
+    import itertools
+
+    basis: dict = {}
+    free_count = 0
+    exprs = []  # per pair: frozenset of free indices whose XOR gives c_p
+    for vec in vectors:
+        v = set(vec)
+        expr: set = set()
+        while v:
+            piv = max(v, key=str)
+            b = basis.get(piv)
+            if b is None:
+                # v_p is independent: give it free bit K; the residual v
+                # equals u_K xor the reduction expression.
+                basis[piv] = (frozenset(v), frozenset(expr) ^ {free_count})
+                exprs.append(frozenset({free_count}))
+                free_count += 1
+                break
+            bv, be = b
+            v ^= bv
+            expr ^= be
+        else:
+            exprs.append(frozenset(expr))
+    if free_count > max_rank:
+        return None
+    out = []
+    for bits in itertools.product((0, 1), repeat=free_count):
+        out.append(tuple(sum(bits[k] for k in e) & 1 for e in exprs))
+    return out
+
+
+def planned_magic_decomposition(
+    g: ZXGraph, max_rank: int = 14, restarts: int = 12
+) -> list[ZXGraph] | None:
+    """One planned joint-split pass; returns reduced nonzero leaves or None.
+
+    None means planning is not applicable (too few gadget pairs or rank too
+    large) and the caller should fall back to per-pair recursion.
+    """
+    from .simplify import full_reduce
+
+    work = g.copy()
+    gadgetize_magic(work)
+    ts = _t_vertices(work)
+    gadgets = _projector_gadgets(work, ts)
+    if len(gadgets) < 4:
+        return None
+    pairs = plan_projector_cover(work, gadgets, restarts)
+    if len(pairs) < 2:
+        return None
+    assigns = _consistent_assignments([vec for (_, _, vec) in pairs], max_rank)
+    if assigns is None:
+        return None
+    leaves = []
+    for cs in assigns:
+        gg = work.copy()
+        for (i, j, _), c in zip(pairs, cs):
+            apply_pair_projector(
+                gg, gadgets[i][0], gadgets[i][1], gadgets[j][0], gadgets[j][1], c
+            )
+        full_reduce(gg, paramSafe=True)
+        if gg.scalar.is_zero:
+            continue
+        leaves.append(gg)
+    return leaves
