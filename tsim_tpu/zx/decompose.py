@@ -731,7 +731,7 @@ def _reduce_gf2(basis: dict, vec: frozenset):
 
 
 def plan_projector_cover(
-    g: ZXGraph, gadgets, restarts: int = 12
+    g: ZXGraph, gadgets, restarts: int = 48
 ) -> list[tuple]:
     """Greedy min-rank perfect matching over projector-splittable pairs.
 
@@ -844,7 +844,7 @@ def _consistent_assignments(vectors: list[frozenset], max_rank: int):
 
 
 def planned_magic_decomposition(
-    g: ZXGraph, max_rank: int = 14, restarts: int = 12
+    g: ZXGraph, max_rank: int = 14, restarts: int = 48
 ) -> list[ZXGraph] | None:
     """One planned joint-split pass; returns reduced nonzero leaves or None.
 
