@@ -21,7 +21,10 @@ def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
     import tsim_tpu
     from tsim_tpu.compile.evaluate import evaluate_abs
-    from tsim_tpu.compile.pallas_evaluate import evaluate_abs_fused
+    from tsim_tpu.compile.pallas_evaluate import (
+        evaluate_abs_fused,
+        evaluate_abs_fused_small,
+    )
     from tsim_tpu.models.distillation import distillation_d3
 
     rng = np.random.default_rng(0)
@@ -40,12 +43,15 @@ def main():
                 t0 = time.time()
                 want = np.asarray(evaluate_abs(csg, x))
                 got = np.asarray(evaluate_abs_fused(csg, x))
+                got_small = np.asarray(evaluate_abs_fused_small(csg, x))
                 scale = max(np.abs(want).max(), 1e-30)
                 dev = float(np.abs(want - got).max() / scale)
-                worst = max(worst, dev)
+                dev_s = float(np.abs(want - got_small).max() / scale)
+                worst = max(worst, dev, dev_s)
                 print(
                     f"{name}: G={csg.num_graphs} P={csg.n_params} "
-                    f"rel dev {dev:.2e} ({time.time()-t0:.0f}s)",
+                    f"rel dev wide {dev:.2e} small {dev_s:.2e} "
+                    f"({time.time()-t0:.0f}s)",
                     flush=True,
                 )
     print(f"WORST: {worst:.2e}")

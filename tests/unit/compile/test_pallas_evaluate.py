@@ -90,3 +90,44 @@ def _all_csgs(circuit_text, limit=2, **kwargs):
 def test_circuit_kernels(text):
     for csg in _all_csgs(text, limit=3):
         _check(csg)
+
+
+def _check_small(csg, batch=9):
+    from tsim_tpu.compile.pallas_evaluate import evaluate_abs_fused_small
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 2, size=(batch, csg.n_params)).astype(np.uint8)
+    want = np.asarray(evaluate_abs(csg, vals))
+    got = np.asarray(evaluate_abs_fused_small(csg, vals))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+
+
+def test_small_kernel_node_phase():
+    _check_small(_scalar_csg(lambda s: s.add_node(0.25, ["f0"])))
+
+
+def test_small_kernel_mixed_families():
+    def build(s):
+        s.add_node(0.25, ["f0"])
+        s.add_halfpi(1, ["f1"])
+        s.add_pi_pair(frozenset({"f0"}), frozenset({"f1"}))
+        s.add_phase_pair(1, 7, ["f0"], ["f1"])
+
+    _check_small(_scalar_csg(build))
+
+
+def test_small_kernel_multi_graph():
+    """Several graphs with differing term counts through the transposed
+    kernel (exercises masking, the sublane tree sum, and G % 8 != 0)."""
+    from fractions import Fraction
+
+    graphs = []
+    for k in range(1, 10):
+        g = ZXGraph()
+        for j in range(k % 3 + 1):
+            g.scalar.add_node(Fraction(1, 4) * (2 * j + 1), [f"f{j % 2}"])
+        if k % 2:
+            g.scalar.add_halfpi(1, ["f0"])
+        g.scalar.add_power(k % 5 - 2)
+        graphs.append(g)
+    _check_small(compile_scalar_graphs(graphs, ["f0", "f1"]))

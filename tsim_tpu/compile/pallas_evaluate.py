@@ -62,9 +62,10 @@ def _pad_to(x: np.ndarray | Array, size: int, axis: int, value=0):
 # tile; mirrors core/exact_scalar.py but register/VMEM-resident.
 
 def _k_reduce_step(c, p):
-    even = ((c[0] | c[1] | c[2] | c[3]) & 1) == 0
-    nonzero = (c[0] != 0) | (c[1] != 0) | (c[2] != 0) | (c[3] != 0)
-    red = even & nonzero
+    # No all-zero guard (unlike core/exact_scalar.py): an exact-zero entry
+    # halves to zero with a drifting power, which represents the same value
+    # (0 * 2^p) and saves 7 VPU ops per reduce on the hot path.
+    red = ((c[0] | c[1] | c[2] | c[3]) & 1) == 0
     c = tuple(jnp.where(red, ci >> 1, ci) for ci in c)
     return c, jnp.where(red, p + 1, p)
 
@@ -85,12 +86,6 @@ def _k_mul_acc(acc, accp, term, termp):
     return _k_reduce_step(c, accp + termp)
 
 
-def _k_omega(k):
-    """Coefficient 4-tuple of w^k (k int32 tile, 0..7)."""
-    sign = 1 - 2 * (k >> 2)
-    km = k & 3
-    return tuple(jnp.where(km == j, sign, 0).astype(jnp.int32) for j in range(4))
-
 
 def _k_rot(acc, k):
     """w^k * acc via coefficient rotation (selects, no integer multiplies).
@@ -99,20 +94,31 @@ def _k_rot(acc, k):
     w^km is a cyclic shift with a sign on the wrapped coefficients, and the
     k >> 2 bit is a global sign.
     """
+    # Staged binary rotation: conditionally apply w^1, then w^2, then w^4
+    # on the bits of k — 12 selects instead of 16 for the nested-select
+    # form (the rotation chain is the kernel's hottest primitive).
     a0, a1, a2, a3 = acc
-    sign_neg = (k >> 2) == 1
-    km = k & 3
-    rows = (
-        (a0, -a3, -a2, -a1),
-        (a1, a0, -a3, -a2),
-        (a2, a1, a0, -a3),
-        (a3, a2, a1, a0),
+    b0 = (k & 1) == 1
+    a0, a1, a2, a3 = (
+        jnp.where(b0, -a3, a0),
+        jnp.where(b0, a0, a1),
+        jnp.where(b0, a1, a2),
+        jnp.where(b0, a2, a3),
     )
-    out = []
-    for r in rows:
-        v = jnp.where(km == 0, r[0], jnp.where(km == 1, r[1], jnp.where(km == 2, r[2], r[3])))
-        out.append(jnp.where(sign_neg, -v, v))
-    return tuple(out)
+    b1 = (k & 2) == 2
+    a0, a1, a2, a3 = (
+        jnp.where(b1, -a2, a0),
+        jnp.where(b1, -a3, a1),
+        jnp.where(b1, a0, a2),
+        jnp.where(b1, a1, a3),
+    )
+    b2 = (k & 4) == 4
+    return (
+        jnp.where(b2, -a0, a0),
+        jnp.where(b2, -a1, a1),
+        jnp.where(b2, -a2, a2),
+        jnp.where(b2, -a3, a3),
+    )
 
 
 def _k_parities(params_ref, x_f32, T, Gt):
@@ -641,12 +647,272 @@ def _use_fused() -> bool:
 
 
 def evaluate_abs_auto(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
-    """Dispatch: fused Pallas kernel on TPU, XLA path elsewhere.
+    """Dispatch: wide fused kernel for many graphs, transposed kernel for
+    few (graphs on sublanes, batch on lanes), XLA path off-TPU.
 
-    Small graph counts stay on the XLA path: below ~24 graphs the XLA tree
-    is faster than a kernel padded to the 128-lane granule (measured on
-    v5e: G=9 1ms XLA vs 9ms fused; G=62 73ms XLA vs 19ms fused).
+    The 128-lane-granule wide kernel wastes its tile on G < ~24; the
+    transposed small-G kernel tiles (Gt=8, bt=512) so cost tracks the real
+    graph count (G=9 at B=2^21 on v5e: 40 ms XLA tree vs ~5 ms transposed).
     """
-    if not _use_fused() or circuit.num_graphs < 24:
+    if not _use_fused():
         return _evaluate_abs_xla(circuit, param_vals)
+    if circuit.num_graphs < 24:
+        return _anchor(evaluate_abs_fused_small(circuit, param_vals), param_vals)
     return _anchor(evaluate_abs_fused(circuit, param_vals), param_vals)
+
+
+# ------------------------------------------------------------ small-G path
+# Transposed layout for circuits with few graphs (the norm and early ladder
+# plugs: G = 1..23). The wide kernel puts graphs on the 128-lane axis, so a
+# 9-graph circuit pays a 128-column tile; here graphs sit on sublanes
+# (Gt = 8) and the batch rides the lane axis (bt = 512), so tile area
+# tracks the real work. The XLA tree path this replaces was HBM-bound
+# (~40 ms per 2^21 shots for G = 9 on v5e; this kernel is ~5 ms).
+
+
+def _product_body_t(
+    dims,
+    x_ref,            # (P, Bt) uint8 param values, transposed
+    np_phases_ref, np_params_ref, np_counts_ref,
+    hp_coeffs_ref, hp_params_ref,
+    pp_psi_c_ref, pp_psi_p_ref, pp_phi_c_ref, pp_phi_p_ref,
+    qp_alpha_ref, qp_alpha_p_ref, qp_beta_ref, qp_beta_p_ref, qp_counts_ref,
+    pf_phase_ref, pf_ff_ref, pf_pow_ref,
+):
+    T1, T2, T3, T4, Gt = dims
+    x = x_ref[...].astype(jnp.int32).astype(jnp.float32)  # (P, Bt)
+    Bt = x.shape[1]
+
+    def parities(params_ref, T):
+        w = params_ref[...].astype(jnp.int32).astype(jnp.float32)
+        w = w.reshape(T * Gt, -1)
+        prod = lax.dot_general(
+            w, x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T*Gt, Bt)
+        return prod.astype(jnp.int32).reshape(T, Gt, Bt) & 1
+
+    acc = (
+        jnp.ones((Gt, Bt), jnp.int32),
+        jnp.zeros((Gt, Bt), jnp.int32),
+        jnp.zeros((Gt, Bt), jnp.int32),
+        jnp.zeros((Gt, Bt), jnp.int32),
+    )
+    accp = jnp.zeros((Gt, Bt), jnp.int32)
+
+    if T1:
+        par = parities(np_params_ref, T1)
+        counts = np_counts_ref[0][:, None]  # (Gt, 1)
+        phases = np_phases_ref[...]
+        for t in range(T1):
+            idx = (phases[t][:, None] + 4 * par[t]) & 7
+            rot = _k_rot(acc, idx)
+            live = (t < counts)
+            acc = tuple(
+                jnp.where(live, ai + ri, ai) for ai, ri in zip(acc, rot)
+            )
+            acc, accp = _k_reduce_step(acc, accp)
+
+    if T2:
+        par = parities(hp_params_ref, T2)
+        coeffs = hp_coeffs_ref[...]
+        total = jnp.zeros((Gt, Bt), jnp.int32)
+        for t in range(T2):
+            total = total + coeffs[t][:, None] * par[t]
+        acc = _k_rot(acc, total & 7)
+
+    if T3:
+        par_psi = parities(pp_psi_p_ref, T3)
+        par_phi = parities(pp_phi_p_ref, T3)
+        psi_c = pp_psi_c_ref[...]
+        phi_c = pp_phi_c_ref[...]
+        expo = jnp.zeros((Gt, Bt), jnp.int32)
+        for t in range(T3):
+            psi = (psi_c[t][:, None] + par_psi[t]) & 1
+            phi = (phi_c[t][:, None] + par_phi[t]) & 1
+            expo = expo ^ (psi & phi)
+        acc = tuple(ci * (1 - 2 * expo) for ci in acc)
+
+    if T4:
+        par_a = parities(qp_alpha_p_ref, T4)
+        par_b = parities(qp_beta_p_ref, T4)
+        alpha = qp_alpha_ref[...]
+        beta = qp_beta_ref[...]
+        counts = qp_counts_ref[0][:, None]
+        for t in range(T4):
+            a = (alpha[t][:, None] + 4 * par_a[t]) & 7
+            b = (beta[t][:, None] + 4 * par_b[t]) & 7
+            g = (a + b) & 7
+            ra, rb, rg = _k_rot(acc, a), _k_rot(acc, b), _k_rot(acc, g)
+            live = (t < counts)
+            acc = tuple(
+                jnp.where(live, ai + rai + rbi - rgi, ai)
+                for ai, rai, rbi, rgi in zip(acc, ra, rb, rg)
+            )
+            acc, accp = _k_reduce_step(acc, accp)
+
+    acc = _k_rot(acc, pf_phase_ref[0][:, None] & 7)
+    ff = tuple(pf_ff_ref[j][:, None] * jnp.ones((1, Bt), jnp.int32) for j in range(4))
+    acc, accp = _k_mul_acc(acc, accp, ff, 0)
+    accp = accp + pf_pow_ref[0][:, None]
+    return acc, accp
+
+
+def _kernel_exact_t(dims, *refs):
+    """Exact finisher, transposed: Z[w] tree sum across the sublane axis."""
+    out_c_ref, out_p_ref = refs[-2:]
+    acc, accp = _product_body_t(dims, *refs[:-2])
+    n = dims[-1]
+    while n > 1:
+        h = n // 2
+        a = (tuple(ci[:h] for ci in acc), accp[:h])
+        b = (tuple(ci[h : 2 * h] for ci in acc), accp[h : 2 * h])
+        d1 = jnp.clip(a[1] - b[1], 0, 30)
+        d2 = jnp.clip(b[1] - a[1], 0, 30)
+        s1 = jnp.left_shift(jnp.ones_like(d1), d1)
+        s2 = jnp.left_shift(jnp.ones_like(d2), d2)
+        c = tuple(a[0][j] * s1 + b[0][j] * s2 for j in range(4))
+        p = jnp.minimum(a[1], b[1])
+        c, p = _k_reduce_step(c, p)
+        if n % 2:
+            c = tuple(
+                jnp.concatenate([c[j], acc[j][-1:]], axis=0) for j in range(4)
+            )
+            p = jnp.concatenate([p, accp[-1:]], axis=0)
+        acc, accp = c, p
+        n = (n + 1) // 2 if n % 2 else h
+
+    out_c_ref[...] = jnp.concatenate([acc[j] for j in range(4)], axis=0)[None]
+    out_p_ref[...] = accp[None]
+
+
+def _kernel_approx_t(dims, *refs):
+    """Approximate finisher, transposed."""
+    approx_ref, out_ref = refs[-2:]
+    acc, accp = _product_body_t(dims, *refs[:-2])
+    c = tuple(ci.astype(jnp.float32) for ci in acc)
+    re = c[0] + (c[1] - c[3]) * _INV_SQRT2
+    im = c[2] + (c[1] + c[3]) * _INV_SQRT2
+    scale = jnp.exp2(accp.astype(jnp.float32))
+    fre = approx_ref[0][:, None] * scale
+    fim = approx_ref[1][:, None] * scale
+    out_re = jnp.sum(re * fre - im * fim, axis=0)
+    out_im = jnp.sum(re * fim + im * fre, axis=0)
+    out_ref[...] = jnp.stack([out_re, out_im], axis=0)[None]
+
+
+def _small_tiles() -> tuple[int, int]:
+    """(graph_tile, batch_tile) for the transposed small-G kernel."""
+    if jax.default_backend() == "tpu":
+        return 8, 512
+    return 8, 8
+
+
+def evaluate_abs_fused_small(circuit: CompiledScalarGraphs, param_vals: Array) -> Array:
+    """|amplitude| via the transposed kernel (few graphs, batch on lanes)."""
+    B, P_in = param_vals.shape
+    gt, bt = _small_tiles()
+    P = max(P_in, 8)
+    Bp = max(bt, ((B + bt - 1) // bt) * bt)
+    xT = _pad_to(_pad_to(param_vals.astype(jnp.uint8), P, 1), Bp, 0).T
+    approx = bool(circuit.prefactor.has_approximate_floatfactors)
+
+    blocks, dims = _prepared_small(circuit, P)
+    T1, T2, T3, T4, Gp = dims
+    n_gt = Gp // gt
+    kdims = (T1, T2, T3, T4, gt)
+
+    def spec2(T):
+        return pl.BlockSpec((max(T, 1), gt), lambda i, j: (0, j))
+
+    def spec3(T):
+        return pl.BlockSpec((max(T, 1), gt, P), lambda i, j: (0, j, 0))
+
+    spec_c = pl.BlockSpec((1, gt), lambda i, j: (0, j))
+    grid = (Bp // bt, n_gt)
+    in_specs = [
+        pl.BlockSpec((P, bt), lambda i, j: (0, i)),
+        spec2(T1), spec3(T1), spec_c,
+        spec2(T2), spec3(T2),
+        spec2(T3), spec3(T3), spec2(T3), spec3(T3),
+        spec2(T4), spec3(T4), spec2(T4), spec3(T4), spec_c,
+        spec_c, pl.BlockSpec((4, gt), lambda i, j: (0, j)), spec_c,
+    ]
+    inputs = [
+        xT,
+        blocks["np_phases"], blocks["np_params"], blocks["np_counts"],
+        blocks["hp_coeffs"], blocks["hp_params"],
+        blocks["pp_psi_c"], blocks["pp_psi_p"],
+        blocks["pp_phi_c"], blocks["pp_phi_p"],
+        blocks["qp_alpha"], blocks["qp_alpha_p"],
+        blocks["qp_beta"], blocks["qp_beta_p"], blocks["qp_counts"],
+        blocks["pf_phase"], blocks["pf_ff"], blocks["pf_pow"],
+    ]
+    interpret = jax.default_backend() != "tpu"
+    if approx:
+        out = pl.pallas_call(
+            functools.partial(_kernel_approx_t, kdims),
+            grid=grid,
+            in_specs=in_specs + [pl.BlockSpec((2, gt), lambda i, j: (0, j))],
+            out_specs=pl.BlockSpec((1, 2, bt), lambda i, j: (j, 0, i)),
+            out_shape=jax.ShapeDtypeStruct((n_gt, 2, Bp), jnp.float32),
+            interpret=interpret,
+        )(*inputs, blocks["pf_approx"])
+        total = jnp.sum(out, axis=0)  # (2, Bp)
+        return jnp.sqrt(total[0] ** 2 + total[1] ** 2)[:B]
+    out_c, out_p = pl.pallas_call(
+        functools.partial(_kernel_exact_t, kdims),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 4, bt), lambda i, j: (j, 0, i)),
+            pl.BlockSpec((1, 1, bt), lambda i, j: (j, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_gt, 4, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((n_gt, 1, Bp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    # (n_gt, 4, Bp) -> exact sum across graph tiles.
+    coeffs = jnp.transpose(out_c, (1, 2, 0))  # (4, Bp, n_gt)
+    power = jnp.transpose(out_p[:, 0, :], (1, 0))  # (Bp, n_gt)
+    esa = ExactScalarArray.from_coeffs(coeffs, power).sum(axis=-1)
+    re, im = _coeffs_to_real_imag(esa.coeffs)
+    mag = jnp.sqrt(re * re + im * im) * jnp.exp2(esa.power.astype(jnp.float32))
+    return mag[:B]
+
+
+_SMALL_CACHE: dict = {}
+_SMALL_DEVICE_CACHE: dict = {}
+
+
+def _prepared_small(circuit: CompiledScalarGraphs, P: int):
+    cache_key = (id(circuit), P, jax.default_backend())
+    entry = _SMALL_CACHE.get(cache_key)
+    if entry is None or entry[0] is not circuit:
+        gt, bt = _small_tiles()
+        G = circuit.num_graphs
+        Gp = ((G + gt - 1) // gt) * gt
+        blocks = _family_blocks(circuit, Gp, P)
+        for k2, k3 in (
+            ("np_phases", "np_params"), ("hp_coeffs", "hp_params"),
+            ("pp_psi_c", "pp_psi_p"), ("pp_phi_c", "pp_phi_p"),
+            ("qp_alpha", "qp_alpha_p"), ("qp_beta", "qp_beta_p"),
+        ):
+            blocks[k2], blocks[k3] = _ensure_t(blocks[k2], blocks[k3], Gp, P)
+        dims = (
+            blocks["np_phases"].shape[0], blocks["hp_coeffs"].shape[0],
+            blocks["pp_psi_c"].shape[0], blocks["qp_alpha"].shape[0], Gp,
+        )
+        entry = (circuit, (blocks, dims))
+        _SMALL_CACHE[cache_key] = entry
+    blocks, dims = entry[1]
+    if _tracing():
+        return blocks, dims
+    dentry = _SMALL_DEVICE_CACHE.get(cache_key)
+    if dentry is not None and dentry[0] is circuit:
+        return dentry[1]
+    dev = ({k: jax.device_put(v) for k, v in blocks.items()}, dims)
+    _SMALL_DEVICE_CACHE[cache_key] = (circuit, dev)
+    return dev

@@ -178,12 +178,21 @@ extern "C" void tsim_unpack_rows(const uint64_t* in, int64_t rows, int64_t W,
     lut_init = true;
   }
   const int64_t row_blocks = (rows + 63) >> 6;
+  // Tile the shot-word axis so the output region touched by all row
+  // blocks of one tile stays cache-resident: without tiling, each row
+  // block sweeps the entire (shots, out_stride) output (rows/64 full
+  // DRAM passes over a multi-GB array; measured 3-5x slower with wild
+  // run-to-run variance on the d=7 surface-code workload).
+  int64_t w_tile = (8 << 20) / (out_stride << 6);  // ~8MB of output rows
+  if (w_tile < 1) w_tile = 1;
   uint64_t block[64];
+  for (int64_t wt = 0; wt < W; wt += w_tile) {
+  const int64_t w_end = wt + w_tile < W ? wt + w_tile : W;
   for (int64_t rb = 0; rb < row_blocks; rb++) {
     const int64_t r0 = rb << 6;
     const int64_t nr = rows - r0 < 64 ? rows - r0 : 64;
     const int64_t nbytes = (nr + 7) >> 3;  // output bytes per shot, block rb
-    for (int64_t w = 0; w < W; w++) {
+    for (int64_t w = wt; w < w_end; w++) {
       for (int64_t r = 0; r < nr; r++) block[r] = in[(r0 + r) * W + w];
       for (int64_t r = nr; r < 64; r++) block[r] = 0;
       transpose64(block);
@@ -204,6 +213,7 @@ extern "C" void tsim_unpack_rows(const uint64_t* in, int64_t rows, int64_t W,
           dst[8 * byte + j] = (uint8_t)(v >> (8 * j));
       }
     }
+  }
   }
 }
 

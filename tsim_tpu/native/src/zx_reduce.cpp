@@ -248,6 +248,20 @@ struct Scalar {
       }
       return;
     }
+    if (ph.d == 1) {
+      // Projector node 1 + (-1)^(ph + parity): a duplicate collapses to a
+      // factor 2, the opposite-phase node on the same parity annihilates
+      // (mirrors Scalar.add_node in zx/scalar.py).
+      for (const auto& [ph2, vs2] : nodes) {
+        if (ph2.d != 1 || vs2 != params) continue;
+        if (((ph2.n - ph.n) % 2 + 2) % 2 == 0) {
+          add_power(2);
+        } else {
+          set_zero();
+        }
+        return;
+      }
+    }
     nodes.emplace_back(ph, params);
   }
 
@@ -1076,7 +1090,7 @@ static Graph decode(Reader& r) {
   for (i64 i = 0; i < nn; ++i) {
     i64 pn = r.next(), pd = r.next();
     Frac ph = frac_mod2(frac_make(pn, pd));
-    s.nodes.emplace_back(ph, r.pset());
+    s.add_node(ph, r.pset());  // canonicalizes projector nodes
   }
   i64 npr = r.next();
   for (i64 i = 0; i < npr; ++i) {

@@ -258,8 +258,7 @@ def decode_graph(dec: _Decoder, g: ZXGraph) -> None:
         s.phasevars_pi_pair.append((psi, phi))
     for _ in range(dec.next()):
         ph = dec.frac()
-        s.phasenodes.append(ph)
-        s.phasenodevars.append(dec.pset())
+        s.add_node(ph, dec.pset())  # canonicalizes projector nodes
     for _ in range(dec.next()):
         a = dec.next()
         b = dec.next()

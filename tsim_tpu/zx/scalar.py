@@ -209,6 +209,21 @@ class Scalar:
             else:
                 self.mul_float(1 + cmath.exp(1j * math.pi * float(phase)))
             return
+        if phase.denominator == 1:
+            # Projector node 1 + (-1)^(phase + parity): idempotent up to a
+            # factor 2 — a duplicate collapses ((1 +/- (-1)^s)^2 =
+            # 2 (1 +/- (-1)^s)), and the opposite-phase node on the same
+            # parity annihilates ((1+(-1)^s)(1-(-1)^s) = 0). The doubled
+            # cultivation diagrams hit both constantly (34% of compiled
+            # node terms were exact duplicate pairs before this).
+            for ph2, vs2 in zip(self.phasenodes, self.phasenodevars):
+                if vs2 != params or _frac(ph2).denominator != 1:
+                    continue
+                if (ph2 - phase) % 2 == 0:
+                    self.add_power(2)
+                    return
+                self.set_zero()
+                return
         self.phasenodes.append(phase)
         self.phasenodevars.append(params)
 
@@ -245,8 +260,10 @@ class Scalar:
         for j, lst in other.phasevars_halfpi.items():
             self.phasevars_halfpi.setdefault(j, []).extend(lst)
         self.phasevars_pi_pair.extend(other.phasevars_pi_pair)
-        self.phasenodes.extend(other.phasenodes)
-        self.phasenodevars.extend(other.phasenodevars)
+        # Route nodes through add_node so projector dedup/annihilation
+        # applies across the product too.
+        for ph, vs in zip(other.phasenodes, other.phasenodevars):
+            self.add_node(ph, vs)
         self.phasepairs.extend(other.phasepairs)
 
     def conjugate(self) -> "Scalar":
