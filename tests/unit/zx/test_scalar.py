@@ -123,3 +123,51 @@ class TestScalar:
             assert cmath.isclose(
                 c.evaluate(vals), s.evaluate(vals).conjugate(), abs_tol=1e-9
             )
+
+
+class TestProjectorNodeDedup:
+    """Integer-phase nodes 1 +/- (-1)^parity are idempotent projectors (up
+    to a factor 2); add_node canonicalizes them on insertion."""
+
+    @pytest.mark.parametrize("ph", [Fraction(0), Fraction(1)])
+    def test_duplicate_collapses(self, ph):
+        s = Scalar()
+        s.add_node(ph, ["e0"])
+        t = s.copy()
+        t.add_node(ph, ["e0"])
+        assert len(t.phasenodes) == 1
+        for e0 in (0, 1):
+            assert cmath.isclose(
+                t.evaluate({"e0": e0}),
+                s.evaluate({"e0": e0}) ** 2,
+                abs_tol=1e-12,
+            )
+
+    def test_opposite_phase_annihilates(self):
+        s = Scalar()
+        s.add_node(Fraction(0), ["e0"])
+        s.add_node(Fraction(1), ["e0"])
+        assert s.is_zero
+
+    def test_different_params_kept(self):
+        s = Scalar()
+        s.add_node(Fraction(0), ["e0"])
+        s.add_node(Fraction(0), ["e1"])
+        assert len(s.phasenodes) == 2
+
+    def test_quarter_phase_not_touched(self):
+        s = Scalar()
+        s.add_node(Fraction(1, 4), ["e0"])
+        s.add_node(Fraction(1, 4), ["e0"])
+        assert len(s.phasenodes) == 2
+
+    def test_mul_dedups_across_product(self):
+        a = Scalar()
+        a.add_node(Fraction(0), ["e0"])
+        b = Scalar()
+        b.add_node(Fraction(0), ["e0"])
+        a.mul(b)
+        assert len(a.phasenodes) == 1
+        for e0 in (0, 1):
+            want = (1 + (-1) ** e0) ** 2
+            assert cmath.isclose(a.evaluate({"e0": e0}), want, abs_tol=1e-12)
