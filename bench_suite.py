@@ -62,6 +62,19 @@ def bench_d3_cultivation():
     )
 
 
+def bench_d3_cultivation2():
+    from tsim_tpu.models.cultivation import cultivation_d3
+
+    _log("2-check cultivation compile (minutes on first run)...")
+    s = cultivation_d3(p=0.001, checks=2).compile_detector_sampler(seed=0)
+    return (
+        _throughput(
+            s, 1 << 16, 1 << 14, use_detector_reference_sample=True
+        ),
+        "shots/s",
+    )
+
+
 def bench_d7_surface_code():
     from tsim_tpu.models.surface_code import rotated_surface_code_memory_z
 
@@ -80,6 +93,7 @@ WORKLOADS = {
     "d3_distillation": bench_d3_distillation,
     "d5_distillation": bench_d5_distillation,
     "d3_cultivation": bench_d3_cultivation,
+    "d3_cultivation2": bench_d3_cultivation2,
     "d7_surface_code": bench_d7_surface_code,
 }
 

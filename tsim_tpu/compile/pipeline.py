@@ -22,7 +22,7 @@ from ..core.types import CompiledComponent, CompiledProgram, SamplingGraph
 from ..zx.graph import ZXGraph
 from ..zx.simplify import full_reduce
 from .compile import CompiledScalarGraphs, compile_scalar_graphs
-from .stabrank import find_stab
+from .stabrank import DecompositionBudgetExceeded, find_stab
 
 DecompositionMode = Literal["sequential", "joint"]
 DecompositionStrategy = Literal["cat5", "bss", "cutting"]
@@ -122,12 +122,21 @@ def _compile_component(
         param_names = [f"f{i}" for i in f_selected_values]
         param_names += [f"m{output_indices[j]}" for j in range(num_m_plugged)]
 
-        # The shake pass is a heuristic that shrinks some decompositions
-        # and grows others: compile both ways, keep the smaller term count.
+        # The shake pass and pi-hub normalization are heuristics that
+        # shrink some decompositions and grow others: compile the variants,
+        # keep the smallest term count.
+        from ..zx.decompose import set_pi_hub_normalize
+
         best_list = None
         best_base = None
-        for shake in (True, False):
+        for shake, pi_hub in (
+            (True, True),
+            (False, True),
+            (True, False),
+            (False, False),
+        ):
             prev = set_shake(shake)
+            prev_ph = set_pi_hub_normalize(pi_hub)
             try:
                 g_copy = plugged.copy()
                 full_reduce(g_copy, paramSafe=True)
@@ -135,9 +144,18 @@ def _compile_component(
                 base = power2_base if power2_base is not None else g_copy.scalar.power2
                 g_copy.scalar.add_power(-base)
                 _remove_phase_terms(g_copy)
-                g_list = find_stab(g_copy, strategy=strategy)
+                # Budget: a variant that exceeds 4x the best-so-far term
+                # count aborts instead of finishing a losing decomposition.
+                g_list = find_stab(
+                    g_copy,
+                    strategy=strategy,
+                    max_terms=None if best_list is None else len(best_list),
+                )
+            except DecompositionBudgetExceeded:
+                continue
             finally:
                 set_shake(prev)
+                set_pi_hub_normalize(prev_ph)
             if best_list is None or len(g_list) < len(best_list):
                 best_list = g_list
                 best_base = base

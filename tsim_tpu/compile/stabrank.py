@@ -41,10 +41,25 @@ def _graph_state_key(g: ZXGraph):
     return (verts, adj, _scalar_signature(g))
 
 
-def _decompose(graphs: Sequence[ZXGraph], count_fn, replace_fn) -> list[ZXGraph]:
+class DecompositionBudgetExceeded(Exception):
+    """Raised when a decomposition variant exceeds the caller's term budget
+    (used by the compile pipeline to abort losing heuristic variants
+    early)."""
+
+
+def _check_budget(n: int, max_terms: int | None) -> None:
+    # 4x headroom: intermediate levels shrink through merging/zero pruning.
+    if max_terms is not None and n > 4 * max_terms:
+        raise DecompositionBudgetExceeded(n)
+
+
+def _decompose(
+    graphs: Sequence[ZXGraph], count_fn, replace_fn, max_terms: int | None = None
+) -> list[ZXGraph]:
     results: list[ZXGraph] = []
     level: list[ZXGraph] = list(graphs)
     while level:
+        _check_budget(len(level) + len(results), max_terms)
         nxt: list[ZXGraph] = []
         for graph in level:
             if count_fn(graph) == 0:
@@ -60,7 +75,9 @@ def _decompose(graphs: Sequence[ZXGraph], count_fn, replace_fn) -> list[ZXGraph]
     return results
 
 
-def find_stab_magic(graphs: Iterable[ZXGraph], strategy: str) -> list[ZXGraph]:
+def find_stab_magic(
+    graphs: Iterable[ZXGraph], strategy: str, max_terms: int | None = None
+) -> list[ZXGraph]:
     pending = list(graphs)
     if strategy == "cat5":
         # Planned joint pair-projector pass first: gadgetize every magic
@@ -70,6 +87,7 @@ def find_stab_magic(graphs: Iterable[ZXGraph], strategy: str) -> list[ZXGraph]:
         recurse: list[ZXGraph] = []
         results: list[ZXGraph] = []
         while pending:
+            _check_budget(len(pending) + len(results), max_terms)
             g = pending.pop()
             if tcount(g) == 0:
                 results.append(g)
@@ -86,6 +104,7 @@ def find_stab_magic(graphs: Iterable[ZXGraph], strategy: str) -> list[ZXGraph]:
                 replace_fn=lambda g: replace_magic_states(
                     g, pick_random=False, strategy=strategy
                 ),
+                max_terms=max_terms,
             )
         )
         return merge_equal_states(results) if len(results) > 1 else results
@@ -93,14 +112,18 @@ def find_stab_magic(graphs: Iterable[ZXGraph], strategy: str) -> list[ZXGraph]:
         pending,
         count_fn=tcount,
         replace_fn=lambda g: replace_magic_states(g, pick_random=False, strategy=strategy),
+        max_terms=max_terms,
     )
 
 
-def find_stab_u3(graphs: Iterable[ZXGraph], strategy: str) -> list[ZXGraph]:
+def find_stab_u3(
+    graphs: Iterable[ZXGraph], strategy: str, max_terms: int | None = None
+) -> list[ZXGraph]:
     return _decompose(
         list(graphs),
         count_fn=u3_count,
         replace_fn=lambda g: replace_u3_states(g, strategy=strategy),
+        max_terms=max_terms,
     )
 
 
@@ -322,8 +345,16 @@ def merge_equal_states(graphs: list[ZXGraph]) -> list[ZXGraph]:
     return _merge_by_key(graphs, key_fn)
 
 
-def find_stab(graph: ZXGraph, strategy: str) -> list[ZXGraph]:
-    """Decompose into a sum of Clifford (stabilizer) scalar graphs."""
+def find_stab(
+    graph: ZXGraph, strategy: str, max_terms: int | None = None
+) -> list[ZXGraph]:
+    """Decompose into a sum of Clifford (stabilizer) scalar graphs.
+
+    ``max_terms``: optional budget; raises DecompositionBudgetExceeded when
+    the working set exceeds 4x the budget (variant-selection abort).
+    """
     full_reduce(graph, paramSafe=True)
-    graphs = find_stab_u3([graph], strategy=strategy)
-    return merge_parallel_graphs(find_stab_magic(graphs, strategy=strategy))
+    graphs = find_stab_u3([graph], strategy=strategy, max_terms=max_terms)
+    return merge_parallel_graphs(
+        find_stab_magic(graphs, strategy=strategy, max_terms=max_terms)
+    )

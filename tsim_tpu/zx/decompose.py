@@ -687,6 +687,25 @@ def replace_u3_states(g: ZXGraph, strategy: str = "cat5") -> GraphSum:
 # ---------------------------------------------------------------------------
 
 
+_PI_HUB_NORMALIZE = True
+
+
+def set_pi_hub_normalize(on: bool) -> bool:
+    """Toggle pi-phase-hub gadget normalization inside gadgetize_magic.
+
+    Normalizing exposes more gadgets to the pair planner (essential on the
+    2-check cultivation ladder: largest plug 30052 -> 2048 terms) but
+    perturbs the greedy matching trajectory, which occasionally loses to
+    the unnormalized plan on small workloads — the compile pipeline tries
+    both and keeps the smaller decomposition (like the shake toggle).
+    Returns the previous value.
+    """
+    global _PI_HUB_NORMALIZE
+    prev = _PI_HUB_NORMALIZE
+    _PI_HUB_NORMALIZE = on
+    return prev
+
+
 def gadgetize_magic(g: ZXGraph) -> bool:
     """Unfuse every non-gadget magic (odd pi/4) phase into a phase gadget.
 
@@ -703,6 +722,23 @@ def gadgetize_magic(g: ZXGraph) -> bool:
         if g.degree(v) == 1:
             (h,) = g.neighbors(v)
             if g.type(h) == Z and g.degree(h) >= 2:
+                if (
+                    _PI_HUB_NORMALIZE
+                    and g.phase(h) == 1
+                    and not g.is_boundary_registered(h)
+                ):
+                    # pi-phase hub: the pi flips the gadget parity, so
+                    # gadget(a, hub pi) = e^{i pi a} (-1)^P gadget(-a, hub 0)
+                    # (oracle-verified). Normalizing makes the gadget
+                    # visible to the pair planner.
+                    a = g.phase(v)
+                    P = g.get_params(v)
+                    g.set_phase(h, 0)
+                    g.scalar.add_phase(a)
+                    if P:
+                        g.scalar.add_pi_var(P)
+                    g.set_phase(v, (-a) % 2)
+                    changed = True
                 continue  # already a gadget leaf
         a = g.phase(v)
         P = g.get_params(v)
