@@ -414,3 +414,51 @@ class TestPlannedDecomposition:
             tb = np.asarray(graph_to_tensor(g, vals=vals))
             ta = sum(np.asarray(graph_to_tensor(gg, vals=vals)) for gg in leaves)
             np.testing.assert_allclose(tb, ta, atol=1e-8)
+
+
+class TestPiHubNormalization:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_identity(self, seed):
+        """gadget(a, hub pi) == e^{i pi a} (-1)^P gadget(-a, hub 0):
+        gadgetize_magic normalizes pi-phase hubs in place, exactly."""
+        from tsim_tpu.zx.decompose import gadgetize_magic
+
+        rng = np.random.default_rng(seed)
+        g = ZXGraph()
+        vs = _random_clifford_core(rng, g, n=4)
+        hub = g.add_vertex(Z, phase=Fraction(1))
+        leaf = g.add_vertex(
+            Z, phase=[Fraction(1, 4), Fraction(3, 4), Fraction(7, 4)][seed % 3]
+        )
+        if seed % 2:
+            g.set_params(leaf, {PARAMS[0]})
+        g.add_edge((hub, leaf), HADAMARD)
+        for t in rng.permutation(vs)[:2]:
+            g.add_edge((hub, int(t)), HADAMARD)
+        _add_boundaries(rng, g, vs)
+        g2 = g.copy()
+        gadgetize_magic(g2)
+        assert g2.phase(hub) == 0
+        for vals in ASSIGN:
+            np.testing.assert_allclose(
+                np.asarray(graph_to_tensor(g, vals=vals)),
+                np.asarray(graph_to_tensor(g2, vals=vals)),
+                atol=1e-8,
+            )
+
+
+class TestDecompositionBudget:
+    def test_budget_aborts(self):
+        from tsim_tpu.compile.stabrank import (
+            DecompositionBudgetExceeded,
+            find_stab,
+        )
+
+        g = ZXGraph()
+        vs = [g.add_vertex(Z, phase=Fraction(1, 4)) for _ in range(8)]
+        for a, b in itertools.combinations(vs, 2):
+            g.add_edge((a, b), HADAMARD)
+        with pytest.raises(DecompositionBudgetExceeded):
+            find_stab(g.copy(), strategy="cutting", max_terms=1)
+        # and without a budget the same decomposition completes
+        assert find_stab(g.copy(), strategy="cutting", max_terms=None)

@@ -171,3 +171,9 @@ class TestProjectorNodeDedup:
         for e0 in (0, 1):
             want = (1 + (-1) ** e0) ** 2
             assert cmath.isclose(a.evaluate({"e0": e0}), want, abs_tol=1e-12)
+
+    def test_mul_self_alias_terminates(self):
+        s = Scalar()
+        s.add_node(Fraction(1, 4), ["e0"])
+        s.mul(s)  # must not loop: add_node appends to the aliased lists
+        assert len(s.phasenodes) == 2

@@ -231,6 +231,14 @@ def _product_body(
     return acc, accp
 
 
+def _zero_power(acc, accp):
+    # Exactly-zero entries carry a drifted power (the reduce step has no
+    # all-zero guard); pin it to 0 so downstream float32 exp2 cannot
+    # overflow to inf and produce 0 * inf = NaN on zero amplitudes.
+    zero = (acc[0] | acc[1] | acc[2] | acc[3]) == 0
+    return jnp.where(zero, 0, accp)
+
+
 def _kernel_exact(dims, *refs):
     """Exact finisher: Z[w] tree sum across the graph tile."""
     out_c_ref, out_p_ref = refs[-2:]
@@ -256,7 +264,7 @@ def _kernel_exact(dims, *refs):
         n = (n + 1) // 2 if n % 2 else h
 
     out_c_ref[...] = jnp.concatenate([acc[j] for j in range(4)], axis=1)[None]
-    out_p_ref[...] = accp[None]
+    out_p_ref[...] = _zero_power(acc, accp)[None]
 
 
 _INV_SQRT2 = 0.7071067811865476
@@ -271,6 +279,7 @@ def _kernel_approx(dims, *refs):
     """
     approx_ref, out_ref = refs[-2:]
     acc, accp = _product_body(dims, *refs[:-2])
+    accp = _zero_power(acc, accp)
     c = tuple(ci.astype(jnp.float32) for ci in acc)
     re = c[0] + (c[1] - c[3]) * _INV_SQRT2
     im = c[2] + (c[1] + c[3]) * _INV_SQRT2
@@ -783,13 +792,14 @@ def _kernel_exact_t(dims, *refs):
         n = (n + 1) // 2 if n % 2 else h
 
     out_c_ref[...] = jnp.concatenate([acc[j] for j in range(4)], axis=0)[None]
-    out_p_ref[...] = accp[None]
+    out_p_ref[...] = _zero_power(acc, accp)[None]
 
 
 def _kernel_approx_t(dims, *refs):
     """Approximate finisher, transposed."""
     approx_ref, out_ref = refs[-2:]
     acc, accp = _product_body_t(dims, *refs[:-2])
+    accp = _zero_power(acc, accp)
     c = tuple(ci.astype(jnp.float32) for ci in acc)
     re = c[0] + (c[1] - c[3]) * _INV_SQRT2
     im = c[2] + (c[1] + c[3]) * _INV_SQRT2

@@ -261,8 +261,9 @@ class Scalar:
             self.phasevars_halfpi.setdefault(j, []).extend(lst)
         self.phasevars_pi_pair.extend(other.phasevars_pi_pair)
         # Route nodes through add_node so projector dedup/annihilation
-        # applies across the product too.
-        for ph, vs in zip(other.phasenodes, other.phasenodevars):
+        # applies across the product too. Snapshot first: add_node appends
+        # to self's lists, which alias other's when self.mul(self).
+        for ph, vs in list(zip(other.phasenodes, other.phasenodevars)):
             self.add_node(ph, vs)
         self.phasepairs.extend(other.phasepairs)
 
