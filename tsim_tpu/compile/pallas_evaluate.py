@@ -405,28 +405,22 @@ def _slice_family(arr: np.ndarray, idx: np.ndarray, t_max: int) -> np.ndarray:
     return np.ascontiguousarray(out)
 
 
-def _run_fused_bucket(blocks: dict, dims, x: Array, Bp: int, P: int, approx: bool):
-    T1, T2, T3, T4, _GT, Gp, bt = dims
-    n_bt, n_gt = Bp // bt, Gp // _GT
-    kdims = (T1, T2, T3, T4, _GT)
 
-    def spec2(T):
-        return pl.BlockSpec((max(T, 1), _GT), lambda i, j: (0, j))
-
-    def spec3(T):
-        return pl.BlockSpec((max(T, 1), _GT, P), lambda i, j: (0, j, 0))
-
-    spec_c = pl.BlockSpec((1, _GT), lambda i, j: (0, j))
-    grid = (n_bt, n_gt)
-    in_specs = [
-        pl.BlockSpec((bt, P), lambda i, j: (i, 0)),
-        spec2(T1), spec3(T1), spec_c,
-        spec2(T2), spec3(T2),
-        spec2(T3), spec3(T3), spec2(T3), spec3(T3),
-        spec2(T4), spec3(T4), spec2(T4), spec3(T4), spec_c,
-        spec_c, pl.BlockSpec((4, _GT), lambda i, j: (0, j)), spec_c,
+def _family_in_specs(spec2, spec3, spec_c, x_spec):
+    """The 18-entry input spec list shared by both kernel layouts."""
+    return [
+        x_spec,
+        spec2(1), spec3(1), spec_c,
+        spec2(2), spec3(2),
+        spec2(3), spec3(3), spec2(3), spec3(3),
+        spec2(4), spec3(4), spec2(4), spec3(4), spec_c,
+        spec_c, spec2("ff"), spec_c,
     ]
-    inputs = [
+
+
+def _family_inputs(x, blocks):
+    """The 18-entry input list shared by both kernel layouts."""
+    return [
         x,
         blocks["np_phases"], blocks["np_params"], blocks["np_counts"],
         blocks["hp_coeffs"], blocks["hp_params"],
@@ -436,6 +430,28 @@ def _run_fused_bucket(blocks: dict, dims, x: Array, Bp: int, P: int, approx: boo
         blocks["qp_beta"], blocks["qp_beta_p"], blocks["qp_counts"],
         blocks["pf_phase"], blocks["pf_ff"], blocks["pf_pow"],
     ]
+
+
+def _run_fused_bucket(blocks: dict, dims, x: Array, Bp: int, P: int, approx: bool):
+    T1, T2, T3, T4, _GT, Gp, bt = dims
+    n_bt, n_gt = Bp // bt, Gp // _GT
+    kdims = (T1, T2, T3, T4, _GT)
+
+    T_of = {1: T1, 2: T2, 3: T3, 4: T4, "ff": 4}
+
+    def spec2(f):
+        t = T_of[f] if f != "ff" else 4
+        return pl.BlockSpec((max(t, 1), _GT), lambda i, j: (0, j))
+
+    def spec3(f):
+        return pl.BlockSpec((max(T_of[f], 1), _GT, P), lambda i, j: (0, j, 0))
+
+    spec_c = pl.BlockSpec((1, _GT), lambda i, j: (0, j))
+    grid = (n_bt, n_gt)
+    in_specs = _family_in_specs(
+        spec2, spec3, spec_c, pl.BlockSpec((bt, P), lambda i, j: (i, 0))
+    )
+    inputs = _family_inputs(x, blocks)
     interpret = jax.default_backend() != "tpu"
     # Output blocks lead with the graph-tile axis: Mosaic requires the last
     # two block dims to divide (8, 128) or equal the array dims.
@@ -832,32 +848,21 @@ def evaluate_abs_fused_small(circuit: CompiledScalarGraphs, param_vals: Array) -
     n_gt = Gp // gt
     kdims = (T1, T2, T3, T4, gt)
 
-    def spec2(T):
-        return pl.BlockSpec((max(T, 1), gt), lambda i, j: (0, j))
+    T_of = {1: T1, 2: T2, 3: T3, 4: T4}
 
-    def spec3(T):
-        return pl.BlockSpec((max(T, 1), gt, P), lambda i, j: (0, j, 0))
+    def spec2(f):
+        t = 4 if f == "ff" else T_of[f]
+        return pl.BlockSpec((max(t, 1), gt), lambda i, j: (0, j))
+
+    def spec3(f):
+        return pl.BlockSpec((max(T_of[f], 1), gt, P), lambda i, j: (0, j, 0))
 
     spec_c = pl.BlockSpec((1, gt), lambda i, j: (0, j))
     grid = (Bp // bt, n_gt)
-    in_specs = [
-        pl.BlockSpec((P, bt), lambda i, j: (0, i)),
-        spec2(T1), spec3(T1), spec_c,
-        spec2(T2), spec3(T2),
-        spec2(T3), spec3(T3), spec2(T3), spec3(T3),
-        spec2(T4), spec3(T4), spec2(T4), spec3(T4), spec_c,
-        spec_c, pl.BlockSpec((4, gt), lambda i, j: (0, j)), spec_c,
-    ]
-    inputs = [
-        xT,
-        blocks["np_phases"], blocks["np_params"], blocks["np_counts"],
-        blocks["hp_coeffs"], blocks["hp_params"],
-        blocks["pp_psi_c"], blocks["pp_psi_p"],
-        blocks["pp_phi_c"], blocks["pp_phi_p"],
-        blocks["qp_alpha"], blocks["qp_alpha_p"],
-        blocks["qp_beta"], blocks["qp_beta_p"], blocks["qp_counts"],
-        blocks["pf_phase"], blocks["pf_ff"], blocks["pf_pow"],
-    ]
+    in_specs = _family_in_specs(
+        spec2, spec3, spec_c, pl.BlockSpec((P, bt), lambda i, j: (0, i))
+    )
+    inputs = _family_inputs(xT, blocks)
     interpret = jax.default_backend() != "tpu"
     if approx:
         out = pl.pallas_call(
