@@ -42,7 +42,8 @@ def _tiles() -> tuple[int, int, int]:
     tiles there (370s -> 5s per compile on a 1-core host)."""
     if jax.default_backend() == "tpu":
         bt = int(os.environ.get("TSIM_TPU_BT", _BT))
-        return bt, _GT_MAX, 128
+        gt = int(os.environ.get("TSIM_TPU_GT", _GT_MAX))
+        return bt, gt, 128
     return 8, 8, 8
 
 
