@@ -181,3 +181,43 @@ def test_native_direct_deterministic_one_detector(monkeypatch):
     assert abs(obs.mean() - 0.75) < 0.04
     packed = s.sample(4000, bit_packed=True)
     assert abs(np.unpackbits(packed, axis=1, bitorder="little")[:, 0].mean() - 0.75) < 0.04
+
+
+class TestConstantDirectDetectors:
+    """Deterministic (noise-free) detectors classify as direct constants
+    instead of compiling a quantum ladder (reference keeps them implicit;
+    we mask them out of the direct f-column gather)."""
+
+    CIRCUIT = """
+        X 0
+        X_ERROR(0.4) 1
+        M 0 1
+        DETECTOR rec[-2]
+        DETECTOR rec[-1]
+        OBSERVABLE_INCLUDE(0) rec[-1]
+    """
+
+    def test_constant_one_and_zero(self):
+        import tsim_tpu
+
+        s = tsim_tpu.Circuit(self.CIRCUIT).compile_detector_sampler(seed=3)
+        assert len(s._program.components) == 0  # fully direct
+        out = s.sample(4096, batch_size=4096)
+        assert out[:, 0].all()  # X 0 -> M deterministic 1
+        rate = out[:, 1].mean()
+        assert 0.35 < rate < 0.45
+
+    def test_matches_native_frame_path(self):
+        import os
+        import tsim_tpu
+
+        s = tsim_tpu.Circuit(self.CIRCUIT).compile_detector_sampler(seed=3)
+        host = s.sample(20000, batch_size=20000)
+        os.environ["TSIM_TPU_NATIVE_DIRECT"] = "1"
+        try:
+            s2 = tsim_tpu.Circuit(self.CIRCUIT).compile_detector_sampler(seed=3)
+            native = s2.sample(20000, batch_size=20000)
+        finally:
+            del os.environ["TSIM_TPU_NATIVE_DIRECT"]
+        assert native[:, 0].all()
+        assert abs(host[:, 1].mean() - native[:, 1].mean()) < 0.02

@@ -60,7 +60,10 @@ def compile_program(
 
     direct_entries.sort()
     direct_output_order = [e[0] for e in direct_entries]
-    direct_f_indices = [e[1] for e in direct_entries]
+    # Constants (classify_direct -> f_idx -1) read dummy column 0 and are
+    # masked out of the gather.
+    direct_const_mask = [e[1] < 0 for e in direct_entries]
+    direct_f_indices = [max(e[1], 0) for e in direct_entries]
     direct_flips = [e[2] for e in direct_entries]
 
     output_order = np.array(direct_output_order + compiled_output_order, dtype=np.int32)
@@ -71,6 +74,7 @@ def compile_program(
         components=tuple(compiled_components),
         direct_f_indices=np.array(direct_f_indices, dtype=np.int32),
         direct_flips=np.array(direct_flips, dtype=np.bool_),
+        direct_const_mask=np.array(direct_const_mask, dtype=np.bool_),
         output_order=output_order,
         output_reindex=None if is_identity else reindex.astype(np.int32),
         num_outputs=num_outputs,

@@ -91,6 +91,8 @@ def classify_direct(component: ConnectedComponent) -> tuple[int, bool] | None:
 
     Matches a 2-vertex component: boundary output H-connected to a Z spider
     carrying exactly one ``f`` parameter and constant phase 0 or pi.
+    Parameter-free components (deterministic detectors: noise never reaches
+    them) classify as constants, returned as ``(-1, value)``.
     """
     g = component.graph
     outs = list(g.outputs())
@@ -104,6 +106,11 @@ def classify_direct(component: ConnectedComponent) -> tuple[int, bool] | None:
     if g.type(v) != Z or g.edge_type((v_out, v)) != HADAMARD:
         return None
     params = g.get_params(v)
+    ph = g.phase(v)
+    if ph not in (0, 1):
+        return None
+    if len(params) == 0 and not get_params(g):
+        return -1, ph == 1
     if len(params) != 1:
         return None
     (p,) = params
@@ -111,12 +118,7 @@ def classify_direct(component: ConnectedComponent) -> tuple[int, bool] | None:
         return None
     if get_params(g) != {p}:
         return None
-    ph = g.phase(v)
-    if ph == 0:
-        return int(p[1:]), False
-    if ph == 1:
-        return int(p[1:]), True
-    return None
+    return int(p[1:]), ph == 1
 
 
 def build_sampling_graph(

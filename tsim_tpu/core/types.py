@@ -54,3 +54,6 @@ class CompiledProgram:
     output_reindex: Array | None
     num_outputs: int
     num_detectors: int
+    # True where the direct output is a constant (deterministic detector):
+    # the f column is a dummy index 0 and the value is just the flip bit.
+    direct_const_mask: Array | None = None

@@ -48,10 +48,22 @@ def sharded_sample_program(
         outs = []
         max_dev = jnp.zeros(())
         if len(program.direct_f_indices) > 0:
-            outs.append(
-                static_take_columns(f_local, program.direct_f_indices).astype(jnp.uint8)
-                ^ np.asarray(program.direct_flips, dtype=np.uint8)
-            )
+            if f_local.shape[1] == 0:
+                gathered = jnp.zeros(
+                    (f_local.shape[0], len(program.direct_f_indices)), jnp.uint8
+                )
+            else:
+                gathered = static_take_columns(
+                    f_local, program.direct_f_indices
+                ).astype(jnp.uint8)
+            bits = gathered ^ np.asarray(program.direct_flips, dtype=np.uint8)
+            if program.direct_const_mask is not None and program.direct_const_mask.any():
+                bits = jnp.where(
+                    np.asarray(program.direct_const_mask)[None, :],
+                    np.asarray(program.direct_flips, dtype=np.uint8)[None, :],
+                    bits,
+                )
+            outs.append(bits)
         for component in program.components:
             samples, local_key, dev = _sample_component(component, f_local, local_key)
             outs.append(samples)

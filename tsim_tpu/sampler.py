@@ -95,10 +95,23 @@ def sample_program_with_deviation(
         return jnp.zeros((f_params.shape[0], 0), dtype=jnp.uint8), max_dev
 
     if len(program.direct_f_indices) > 0:
-        direct_bits = (
-            static_take_columns(f_params, program.direct_f_indices).astype(jnp.uint8)
-            ^ program.direct_flips.astype(np.uint8)
-        )
+        if f_params.shape[1] == 0:
+            # Noise-free program: every direct output is a constant.
+            gathered = jnp.zeros(
+                (f_params.shape[0], len(program.direct_f_indices)), jnp.uint8
+            )
+        else:
+            gathered = static_take_columns(
+                f_params, program.direct_f_indices
+            ).astype(jnp.uint8)
+        direct_bits = gathered ^ program.direct_flips.astype(np.uint8)
+        if program.direct_const_mask is not None and program.direct_const_mask.any():
+            # Constant (deterministic) detectors: drop the dummy f column.
+            direct_bits = jnp.where(
+                program.direct_const_mask[None, :],
+                program.direct_flips.astype(np.uint8)[None, :],
+                direct_bits,
+            )
         results.append(direct_bits)
 
     for component in program.components:
@@ -536,6 +549,11 @@ class _CompiledSamplerBase:
         prog = self._program
         self._direct_f_indices = np.asarray(prog.direct_f_indices)
         self._direct_flips = np.asarray(prog.direct_flips, dtype=np.bool_)
+        self._direct_const_mask = (
+            np.asarray(prog.direct_const_mask, dtype=np.bool_)
+            if prog.direct_const_mask is not None
+            else np.zeros(len(self._direct_f_indices), dtype=np.bool_)
+        )
         self._direct_reindex = (
             np.asarray(prog.output_reindex) if prog.output_reindex is not None else None
         )
@@ -544,6 +562,7 @@ class _CompiledSamplerBase:
             n_direct > 0
             and self._direct_reindex is None
             and not self._direct_flips.any()
+            and not self._direct_const_mask.any()
             and np.array_equal(self._direct_f_indices, np.arange(n_direct))
         )
         self._direct_global_indices = np.asarray(
@@ -563,11 +582,17 @@ class _CompiledSamplerBase:
             return np.zeros((batch, num_outputs), dtype=np.bool_)
         if self._direct_zero_copy and n_direct == num_outputs:
             return f_params_np[:, :n_direct].view(np.bool_).copy()
-        raw = (
-            f_params_np[:, :n_direct].view(np.bool_)
-            if self._direct_zero_copy
-            else (f_params_np[:, self._direct_f_indices] ^ self._direct_flips).view(np.bool_)
-        )
+        if self._direct_zero_copy:
+            raw = f_params_np[:, :n_direct].view(np.bool_)
+        elif f_params_np.shape[1] == 0:
+            raw = np.broadcast_to(self._direct_flips, (batch, n_direct)).copy()
+        else:
+            raw = (
+                f_params_np[:, self._direct_f_indices] ^ self._direct_flips
+            ).view(np.bool_)
+        if self._direct_const_mask is not None and self._direct_const_mask.any():
+            raw = raw.copy()
+            raw[:, self._direct_const_mask] = self._direct_flips[self._direct_const_mask]
         out = np.zeros((batch, num_outputs), dtype=np.bool_)
         out[:, self._direct_global_indices] = raw
         return out
@@ -897,7 +922,16 @@ class _CompiledSamplerBase:
         f_params = self._channel_sampler.sample(shots)
         if self._direct_zero_copy:
             return f_params[:, : len(self._direct_f_indices)].view(np.bool_)
-        result = f_params[:, self._direct_f_indices] ^ self._direct_flips
+        if f_params.shape[1] == 0:
+            result = np.broadcast_to(
+                self._direct_flips, (shots, len(self._direct_f_indices))
+            ).copy()
+        else:
+            result = f_params[:, self._direct_f_indices] ^ self._direct_flips
+        if self._direct_const_mask.any():
+            result[:, self._direct_const_mask] = self._direct_flips[
+                self._direct_const_mask
+            ]
         if self._direct_reindex is not None:
             result = result[:, self._direct_reindex]
         return result.view(np.bool_)
@@ -1132,13 +1166,23 @@ class CompiledStateProbs(_CompiledSamplerBase):
         p_joint = jnp.ones(batch_size)
 
         if len(self._program.direct_f_indices) > 0:
-            direct_bits = (
-                static_take_columns(f_samples, self._program.direct_f_indices).astype(
-                    jnp.uint8
-                )
-                ^ self._program.direct_flips.astype(np.uint8)
-            ).astype(jnp.bool_)
             n_direct = len(self._program.direct_f_indices)
+            if f_samples.shape[1] == 0:
+                gathered = jnp.zeros((batch_size, n_direct), jnp.uint8)
+            else:
+                gathered = static_take_columns(
+                    f_samples, self._program.direct_f_indices
+                ).astype(jnp.uint8)
+            direct_bits = (
+                gathered ^ self._program.direct_flips.astype(np.uint8)
+            ).astype(jnp.bool_)
+            cm = self._program.direct_const_mask
+            if cm is not None and cm.any():
+                direct_bits = jnp.where(
+                    jnp.asarray(cm)[None, :],
+                    jnp.asarray(self._program.direct_flips)[None, :],
+                    direct_bits,
+                )
             targets = state[np.asarray(self._program.output_order[:n_direct])]
             p_joint = p_joint * (direct_bits == jnp.asarray(targets)).all(axis=1)
 
