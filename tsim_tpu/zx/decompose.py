@@ -755,10 +755,13 @@ def gadgetize_magic(g: ZXGraph) -> bool:
 
 def _reduce_gf2(basis: dict, vec: frozenset):
     """Reduce ``vec`` against ``basis`` (pivot -> vector); returns
-    (pivot, reduced) with pivot None when dependent."""
+    (pivot, reduced) with pivot None when dependent. Coordinates must be
+    integers (vertex ids >= 0, params mapped to negatives by the
+    planner) so ``max`` is cheap — this runs tens of millions of times
+    on big ladders."""
     v = set(vec)
     while v:
-        piv = max(v, key=str)
+        piv = max(v)
         b = basis.get(piv)
         if b is None:
             return piv, v
@@ -781,7 +784,8 @@ def plan_projector_cover(
     import random
 
     n = len(gadgets)
-    allowed = []
+    raw = []
+    coords = set()
     for i in range(n):
         l1, h1, t1 = gadgets[i]
         for j in range(i + 1, n):
@@ -794,10 +798,21 @@ def plan_projector_cover(
                 continue
             D = t1 ^ t2
             Qd = frozenset(g.get_params(h1)) ^ frozenset(g.get_params(h2))
-            vec = frozenset(D) | frozenset(("param", p) for p in Qd)
-            allowed.append((i, j, vec))
-    if not allowed:
+            vec = frozenset(D) | {("param", p) for p in Qd}
+            coords |= vec
+            raw.append((i, j, vec))
+    if not raw:
         return []
+    # Integer coordinate ids so the GF(2) pivot scans are cheap; ranked by
+    # str so the greedy elimination order (and hence the matching quality,
+    # which is sensitive to it) is stable across representations.
+    rank_of = {c: k for k, c in enumerate(sorted(coords, key=str))}
+    allowed = [
+        (i, j, frozenset(rank_of[c] for c in vec)) for (i, j, vec) in raw
+    ]
+    # Small graphs need few restarts to hit the rank plateau; the full
+    # budget only pays off on the big plugged ladder steps.
+    restarts = min(restarts, max(8, 2 * n))
     best = None
     for seed in range(restarts):
         order = list(allowed)
@@ -857,7 +872,7 @@ def _consistent_assignments(vectors: list[frozenset], max_rank: int):
         v = set(vec)
         expr: set = set()
         while v:
-            piv = max(v, key=str)
+            piv = max(v)
             b = basis.get(piv)
             if b is None:
                 # v_p is independent: give it free bit K; the residual v
