@@ -462,3 +462,67 @@ class TestDecompositionBudget:
             find_stab(g.copy(), strategy="cutting", max_terms=1)
         # and without a budget the same decomposition completes
         assert find_stab(g.copy(), strategy="cutting", max_terms=None)
+
+
+class TestPlannerStalePairFilter:
+    """Regression: r1 HEAD remapped plan vectors to integer coordinate ranks
+    but left the stale-pair filter comparing ranks against vertex ids, so
+    every pair passed and apply_pair_projector KeyError'd on removed hubs
+    (broke d3/d5 distillation + cultivation compiles)."""
+
+    def _gadget_graph(self, seed, n_gadgets=5):
+        from tsim_tpu.zx.decompose import _projector_gadgets, _t_vertices
+
+        rng = np.random.default_rng(seed)
+        g = ZXGraph()
+        body = _random_clifford_core(rng, g, n=5)
+        hubs = []
+        for k in range(n_gadgets):
+            hub = g.add_vertex(Z)
+            leaf = g.add_vertex(
+                Z, phase=[Fraction(1, 4), Fraction(7, 4)][int(rng.integers(2))]
+            )
+            if rng.random() < 0.5:
+                g.set_params(leaf, {PARAMS[int(rng.integers(2))]})
+            g.add_edge((hub, leaf), HADAMARD)
+            for t in rng.permutation(body)[: 2 + (k % 2)]:
+                g.add_edge((hub, int(t)), HADAMARD)
+            # Hub-to-hub edges make other gadgets' hubs appear inside
+            # support symdiffs, which is what the stale-pair filter guards.
+            if hubs and rng.random() < 0.7:
+                g.add_edge((hub, hubs[int(rng.integers(len(hubs)))]), HADAMARD)
+            hubs.append(hub)
+        _add_boundaries(rng, g, body)
+        return g, _projector_gadgets(g, _t_vertices(g))
+
+    @pytest.mark.parametrize("seed", range(12))
+    def test_chosen_pairs_never_reference_removed_vertices(self, seed):
+        from tsim_tpu.zx.decompose import plan_projector_cover
+
+        g, gadgets = self._gadget_graph(seed)
+        if len(gadgets) < 4:
+            pytest.skip("not enough eligible gadgets")
+        pairs = plan_projector_cover(g, gadgets, restarts=6)
+        removed = set()
+        for i, j, _ in pairs:
+            for k in (i, j):
+                removed |= {gadgets[k][0], gadgets[k][1]}
+        for i, j, _ in pairs:
+            own = {gadgets[i][0], gadgets[i][1], gadgets[j][0], gadgets[j][1]}
+            symdiff = gadgets[i][2] ^ gadgets[j][2]
+            assert not (symdiff & (removed - own)), (
+                f"pair ({i},{j}) references vertices removed by another pair"
+            )
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_planned_decomposition_oracle_with_hub_hub_edges(self, seed):
+        from tsim_tpu.zx.decompose import planned_magic_decomposition
+
+        g, gadgets = self._gadget_graph(seed)
+        leaves = planned_magic_decomposition(g, max_rank=14, restarts=4)
+        if leaves is None:
+            pytest.skip("planner declined")
+        for vals in ASSIGN:
+            tb = np.asarray(graph_to_tensor(g, vals=vals))
+            ta = sum(np.asarray(graph_to_tensor(gg, vals=vals)) for gg in leaves)
+            np.testing.assert_allclose(tb, ta, atol=1e-8)

@@ -810,6 +810,10 @@ def plan_projector_cover(
     allowed = [
         (i, j, frozenset(rank_of[c] for c in vec)) for (i, j, vec) in raw
     ]
+    # Original-coordinate vectors, for the stale-pair filter below: the
+    # rank-int representation cannot distinguish vertex ids from param
+    # coordinates, which that filter needs.
+    orig_vec = {(i, j): vec for (i, j, vec) in raw}
     # Small graphs need few restarts to hit the rank plateau; the full
     # budget only pays off on the big plugged ladder steps.
     restarts = min(restarts, max(8, 2 * n))
@@ -851,7 +855,7 @@ def plan_projector_cover(
     valid = []
     for (i, j, vec) in chosen:
         own = {gadgets[i][0], gadgets[i][1], gadgets[j][0], gadgets[j][1]}
-        D = {x for x in vec if not isinstance(x, tuple)}
+        D = {x for x in orig_vec[(i, j)] if not isinstance(x, tuple)}
         if D & (lh - own):
             continue
         valid.append((i, j, vec))
