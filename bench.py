@@ -6,9 +6,19 @@ Baseline normalization: the reference publishes a time-per-shot band for
 tsim-CUDA on this workload (reference docs/benchmarks.svg, panel 1); at the
 benchmarked error rate the GPU series sits around 1e-6 s/shot, i.e. about
 1e6 shots/sec. ``vs_baseline`` is shots/sec divided by that 1e6 figure.
+
+Robustness: the TPU arrives via a remote tunnel that has been observed to
+wedge for minutes-to-hours ("Unable to initialize backend 'axon'",
+UNAVAILABLE setup/compile errors). The benchmark therefore probes backend
+availability in a subprocess (so a cached init failure in this process
+can't poison the retry), retries with backoff, and as a last resort falls
+back to CPU with an explicitly renamed metric — an honest small number with
+rc=0 beats no number.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -16,10 +26,49 @@ import time
 def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
+
 BASELINE_SHOTS_PER_SEC = 1.0e6  # tsim-CUDA-class throughput on this workload
 
+_PROBE = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
 
-def main() -> None:
+
+def wait_for_backend(max_wait_s: float = 1200.0) -> bool:
+    """Probe JAX backend init in subprocesses until it works or time runs out.
+
+    Returns True if a device backend initialized. Probing in a subprocess
+    matters: JAX caches a failed backend init for the life of the process,
+    so retrying in-process would always see the first failure.
+    """
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE],
+                capture_output=True,
+                text=True,
+                timeout=300,
+            )
+        except subprocess.TimeoutExpired:
+            _log(f"backend probe {attempt}: timed out after 300s (tunnel hung?)")
+            r = None
+        if r is not None and r.returncode == 0:
+            _log(f"backend probe {attempt}: ok ({r.stdout.strip()})")
+            return True
+        if r is not None:
+            tail = (r.stderr or r.stdout or "").strip().replace("\n", " | ")
+            _log(f"backend probe {attempt}: rc={r.returncode}: …{tail[-400:]}")
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            _log(f"backend unavailable after {attempt} probes / {max_wait_s:.0f}s")
+            return False
+        sleep = min(90.0, 10.0 * attempt, remaining)
+        _log(f"retrying in {sleep:.0f}s ({remaining:.0f}s budget left)")
+        time.sleep(sleep)
+
+
+def run_bench() -> float:
     import jax
 
     # Persistent compile cache: repeat runs skip minutes of TPU compilation.
@@ -33,9 +82,6 @@ def main() -> None:
     sampler = circuit.compile_detector_sampler(seed=0)
     _log(f"host compile {time.perf_counter() - t0:.0f}s")
 
-    # The fused Pallas evaluate streams (batch, graph) tiles, so a single
-    # dispatch can span millions of shots; 2^21/batch amortizes the remote
-    # tunnel's per-fetch latency (measured best on v5e via batch sweep).
     # Deep pipeline of moderate batches: the drain thread overlaps each
     # batch's tunnel d2h with the next batches' device compute; 16 x 2^20
     # measured best on v5e via dev/d2h_probe2.py (5.2M shots/s vs 3.5M for
@@ -44,7 +90,7 @@ def main() -> None:
     batch = 1 << 20
     shots = batch * 16
     # Warm up: first call compiles the on-device run (noise sampling +
-    # sampling ladder); the timed call below reuses the jit.
+    # sampling ladder); the timed calls below reuse the jit.
     t0 = time.perf_counter()
     sampler.sample(shots, batch_size=batch)
     _log(f"device warmup {time.perf_counter() - t0:.0f}s")
@@ -59,10 +105,40 @@ def main() -> None:
         assert det.shape[0] == shots
         value = max(value, shots / dt)
         _log(f"run: {shots / dt:.0f} shots/s")
+    return value
+
+
+def main() -> None:
+    metric = "detector_shots_per_sec_d3_distillation_35q"
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # Re-entered via the CPU-retry subprocess below (or forced by hand).
+        metric += "_cpu_fallback"
+    elif not wait_for_backend():
+        # Honest fallback: measure on CPU rather than exit rc=1 with nothing.
+        _log("falling back to CPU (JAX_PLATFORMS=cpu); metric renamed")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        metric += "_cpu_fallback"
+    try:
+        value = run_bench()
+    except Exception as exc:  # diagnostics before dying — rc=1 with context
+        import traceback
+
+        _log(f"bench run failed: {exc!r}")
+        traceback.print_exc(file=sys.stderr)
+        if os.environ.get("JAX_PLATFORMS") != "cpu":
+            _log("retrying once on CPU fallback")
+            # Subprocess: the failed TPU backend is cached in this process.
+            r = subprocess.run(
+                [sys.executable, __file__],
+                env={**os.environ, "JAX_PLATFORMS": "cpu"},
+                text=True,
+            )
+            sys.exit(r.returncode)
+        raise
     print(
         json.dumps(
             {
-                "metric": "detector_shots_per_sec_d3_distillation_35q",
+                "metric": metric,
                 "value": round(value, 1),
                 "unit": "shots/s",
                 "vs_baseline": round(value / BASELINE_SHOTS_PER_SEC, 4),
