@@ -36,36 +36,42 @@ def _sample_component(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Autoregressively sample this component's outputs.
 
+    Chain rule over the plugged-circuit ladder: rung k's magnitude gives the
+    joint probability of the first k+1 output bits, so each new bit is
+    Bernoulli(p_k / mass) against the running prefix probability ``mass``.
     Returns (samples (B, n_outputs), next_key, max_norm_deviation).
     """
-    batch_size = f_params.shape[0]
-    num_outputs = len(component.compiled_scalar_graphs) - 1
+    shots = f_params.shape[0]
+    ladder = component.compiled_scalar_graphs
+    noise_bits = static_take_columns(f_params, component.f_selection).astype(
+        jnp.uint8
+    )
 
-    f_selected = static_take_columns(f_params, component.f_selection).astype(jnp.uint8)
-    m_accumulated = jnp.zeros((batch_size, num_outputs), dtype=jnp.uint8)
+    mass = evaluate_abs(ladder[0], noise_bits)
+    drawn = jnp.zeros((shots, len(ladder) - 1), dtype=jnp.uint8)
+    worst = jnp.array(0.0)
+    pad_one = jnp.ones((shots, 1), dtype=jnp.uint8)
 
-    prev = evaluate_abs(component.compiled_scalar_graphs[0], f_selected)
+    for k, rung in enumerate(ladder[1:]):
+        # One probe row (shot 0 with its new bit forced to 0) rides along in
+        # the same dispatch, so marginal normalization (p0 + p1 == mass) is
+        # monitored without a second kernel launch.
+        stacked = jnp.vstack(
+            [
+                jnp.hstack([noise_bits, drawn[:, :k], pad_one]),
+                jnp.hstack([noise_bits[:1], drawn[:1, :k], 1 - pad_one[:1]]),
+            ]
+        )
+        magnitudes = evaluate_abs(rung, stacked)
+        p_one, probe = magnitudes[:shots], magnitudes[-1]
+        worst = jnp.maximum(worst, jnp.abs((probe + p_one[0]) / mass[0] - 1.0))
 
-    ones = jnp.ones((batch_size, 1), dtype=jnp.uint8)
-    zero = jnp.zeros((1, 1), dtype=jnp.uint8)
-    max_norm_deviation = jnp.array(0.0)
+        key, draw_key = jax.random.split(key)
+        bit = jax.random.bernoulli(draw_key, p=jnp.clip(p_one / mass, 0.0, 1.0))
+        drawn = drawn.at[:, k].set(bit.astype(jnp.uint8))
+        mass = jnp.where(bit, p_one, mass - p_one)
 
-    for i, circuit in enumerate(component.compiled_scalar_graphs[1:]):
-        params = jnp.hstack([f_selected, m_accumulated[:, :i], ones])
-        check_row = jnp.hstack([f_selected[:1], m_accumulated[:1, :i], zero])
-        probs = evaluate_abs(circuit, jnp.vstack([params, check_row]))
-        p1 = probs[:batch_size]
-        p0_single = probs[-1]
-
-        norm = (p0_single + p1[0]) / prev[0]
-        max_norm_deviation = jnp.maximum(max_norm_deviation, jnp.abs(norm - 1.0))
-
-        key, subkey = jax.random.split(key)
-        bits = jax.random.bernoulli(subkey, p=jnp.clip(p1 / prev, 0.0, 1.0))
-        m_accumulated = m_accumulated.at[:, i].set(bits.astype(jnp.uint8))
-        prev = jnp.where(bits, p1, prev - p1)
-
-    return m_accumulated, key, max_norm_deviation
+    return drawn, key, worst
 
 
 def sample_component(component, f_params, key):

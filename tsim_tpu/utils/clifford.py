@@ -1,7 +1,11 @@
-"""Half-pi parametric rotations -> Clifford gate expansion tables.
+"""Half-pi parametric rotations -> Clifford gate expansion.
 
-Mirrors reference ``tsim/utils/clifford.py``: detection of Clifford circuits
-and expansion of half-pi-angle tagged rotations into plain Clifford gates.
+Feature parity with reference ``src/tsim/utils/clifford.py:67,105,150``:
+detect Clifford circuits (tagged rotations at half-pi angles count) and
+expand half-pi-angle tagged rotations into plain Clifford gates. The U3 and
+axis-rotation lookup tables are mathematical constants and necessarily match
+the reference; everything around them is organized as a non-Clifford-witness
+iterator plus a single per-instruction replacement resolver.
 """
 
 from __future__ import annotations
@@ -13,6 +17,10 @@ from ..core.tags import is_t_tag
 from ..stim_core import Circuit as StimCircuit
 from ..stim_core.instruction import CircuitInstruction, CircuitRepeatBlock
 
+# U3(theta, phi, lambda) = R_Z(phi) R_Y(theta) R_Z(lambda) at half-pi angle
+# indices (theta_idx, phi_idx, lambda_idx), each in {0..3}; values are gate
+# names in circuit (time) order. Keys absent here are reached through the
+# global-phase equivalence U3(t,p,l) == U3(2pi-t, p+pi, l+pi), see _mirror_u3.
 U3_CLIFFORD: dict[tuple[int, int, int], list[str]] = {
     (0, 0, 0): ["I"],
     (0, 0, 1): ["S"],
@@ -48,123 +56,131 @@ U3_CLIFFORD: dict[tuple[int, int, int], list[str]] = {
     (2, 1, 3): ["X"],
 }
 
+# k quarter-turns about each axis, k = 0..3.
 RZ_CLIFFORD = {0: "I", 1: "S", 2: "Z", 3: "S_DAG"}
 RX_CLIFFORD = {0: "I", 1: "SQRT_X", 2: "X", 3: "SQRT_X_DAG"}
 RY_CLIFFORD = {0: "I", 1: "SQRT_Y", 2: "Y", 3: "SQRT_Y_DAG"}
 
-
-def _to_half_pi_index(phase: Fraction) -> int | None:
-    if phase.denominator > 2:
-        return None
-    return int(phase * 2) % 4
+_AXIS_TABLES = {"R_Z": RZ_CLIFFORD, "R_X": RX_CLIFFORD, "R_Y": RY_CLIFFORD}
+_U3_ANGLES = ("theta", "phi", "lambda")
 
 
-def _equivalent_u3_key(t: int, p: int, lam: int) -> tuple[int, int, int]:
-    """U3(t, p, l) == U3(2pi - t, p + pi, l + pi) up to global phase."""
+def _half_pi_steps(angle: Fraction) -> int | None:
+    """Angle (units of pi) as a count of half-pi steps mod 4, or None."""
+    return int(angle * 2) % 4 if angle.denominator <= 2 else None
+
+
+def _mirror_u3(t: int, p: int, lam: int) -> tuple[int, int, int]:
     return ((4 - t) % 4, (p + 2) % 4, (lam + 2) % 4)
 
 
 def parametric_to_clifford_gates(gate_name: str, params) -> list[str] | None:
-    if gate_name in ("R_X", "R_Y", "R_Z"):
-        idx = _to_half_pi_index(params["theta"])
-        if idx is None:
-            return None
-        table = {"R_Z": RZ_CLIFFORD, "R_X": RX_CLIFFORD, "R_Y": RY_CLIFFORD}[gate_name]
-        return [table[idx]]
+    """Gate names (circuit order) realizing a half-pi rotation, else None."""
     if gate_name == "U3":
-        keys = tuple(_to_half_pi_index(params[k]) for k in ("theta", "phi", "lambda"))
-        if any(k is None for k in keys):
+        steps = tuple(_half_pi_steps(params[k]) for k in _U3_ANGLES)
+        if None in steps:
             return None
-        gates = U3_CLIFFORD.get(keys)  # type: ignore[arg-type]
-        if gates is None:
-            gates = U3_CLIFFORD.get(_equivalent_u3_key(*keys))  # type: ignore[misc]
-        assert gates is not None
-        return list(gates)
-    return None
+        hit = U3_CLIFFORD.get(steps)
+        if hit is None:
+            hit = U3_CLIFFORD[_mirror_u3(*steps)]
+        return list(hit)
+    axis_table = _AXIS_TABLES.get(gate_name)
+    if axis_table is None:
+        return None
+    k = _half_pi_steps(params["theta"])
+    return None if k is None else [axis_table[k]]
+
+
+# --- Clifford detection ------------------------------------------------------
+
+
+def _breaks_clifford(ins: CircuitInstruction) -> bool:
+    """True when this single instruction is non-Clifford."""
+    if ins.name in ("S", "S_DAG", "SPP", "SPP_DAG") and is_t_tag(ins.tag):
+        return True
+    if not ins.tag:
+        return False
+    if ins.name in ("SPP", "SPP_DAG"):
+        parsed = parse_parametric_tag(ins)
+        return parsed is not None and parsed[1]["theta"].denominator > 2
+    if ins.name == "I":
+        parsed = parse_parametric_tag(ins)
+        if parsed is None:
+            return False
+        gate_name, params = parsed
+        if gate_name == "U3":
+            return any(params[k].denominator > 2 for k in _U3_ANGLES)
+        if gate_name in _AXIS_TABLES:
+            return params["theta"].denominator > 2
+        return True
+    return False
+
+
+def iter_nonclifford(source: StimCircuit):
+    """Yield every instruction that makes the circuit non-Clifford."""
+    for ins in source:
+        if isinstance(ins, CircuitRepeatBlock):
+            yield from iter_nonclifford(ins.body_copy())
+        elif _breaks_clifford(ins):
+            yield ins
 
 
 def is_clifford(source: StimCircuit) -> bool:
     """True iff every instruction is Clifford (recursing into REPEATs)."""
+    return next(iter_nonclifford(source), None) is None
 
-    def half_pi(phase: Fraction) -> bool:
-        return phase.denominator <= 2
 
-    for instr in source:
-        if isinstance(instr, CircuitRepeatBlock):
-            if not is_clifford(instr.body_copy()):
-                return False
-            continue
-        if instr.name in ("S", "S_DAG", "SPP", "SPP_DAG") and is_t_tag(instr.tag):
-            return False
-        if instr.name in ("SPP", "SPP_DAG") and instr.tag:
-            result = parse_parametric_tag(instr)
-            if result is not None and not half_pi(result[1]["theta"]):
-                return False
-            continue
-        if instr.name == "I" and instr.tag:
-            result = parse_parametric_tag(instr)
-            if result is None:
-                continue
-            gate_name, params = result
-            if gate_name in ("R_X", "R_Y", "R_Z"):
-                if not half_pi(params["theta"]):
-                    return False
-            elif gate_name == "U3":
-                if not all(half_pi(params[k]) for k in ("theta", "phi", "lambda")):
-                    return False
-            else:
-                return False
-    return True
+# --- Clifford-angle expansion -------------------------------------------------
+
+_SPP_POWERS = ((), ("SPP",), ("SPP", "SPP"), ("SPP_DAG",))
+
+
+def _clifford_replacement(ins: CircuitInstruction):
+    """Replacement [(gate, targets), ...] for a half-pi tagged rotation.
+
+    None means 'not expandable here — keep the instruction as written'.
+    An empty list is a valid replacement (identity rotation drops out).
+    """
+    if not ins.tag:
+        return None
+    parsed = parse_parametric_tag(ins)
+    if parsed is None:
+        return None
+    gate_name, params = parsed
+    if ins.name in ("SPP", "SPP_DAG"):
+        if gate_name != "R_PAULI":
+            return None
+        k = _half_pi_steps(params["theta"])
+        if k is None:
+            return None
+        if ins.name == "SPP_DAG":
+            k = -k % 4
+        targets = ins.targets_copy()
+        return [(name, targets) for name in _SPP_POWERS[k]]
+    if ins.name == "I":
+        gates = parametric_to_clifford_gates(gate_name, params)
+        if gates is None:
+            return None
+        qubits = [t.value for t in ins.targets_copy()]
+        return [(name, qubits) for name in gates]
+    return None
 
 
 def expand_clifford_rotations(source: StimCircuit) -> StimCircuit:
     """Expand half-pi parametric rotations into plain Clifford gates."""
     out = StimCircuit()
-    for instr in source:
-        if isinstance(instr, CircuitRepeatBlock):
+    for ins in source:
+        if isinstance(ins, CircuitRepeatBlock):
             out.append(
                 CircuitRepeatBlock(
-                    instr.repeat_count, expand_clifford_rotations(instr.body_copy())
+                    ins.repeat_count, expand_clifford_rotations(ins.body_copy())
                 )
             )
             continue
-        if _expand_clifford_spp(instr, out):
-            continue
-        expansion = _try_clifford_expansion(instr)
-        if expansion is not None:
-            gates, targets = expansion
-            for gate in gates:
-                out.append(gate, targets, None)
+        replacement = _clifford_replacement(ins)
+        if replacement is None:
+            out.append(ins)
         else:
-            out.append(instr)
+            for name, targets in replacement:
+                out.append(name, targets, None)
     return out
-
-
-def _expand_clifford_spp(instr: CircuitInstruction, out: StimCircuit) -> bool:
-    if instr.name not in ("SPP", "SPP_DAG") or not instr.tag:
-        return False
-    parsed = parse_parametric_tag(instr)
-    if parsed is None or parsed[0] != "R_PAULI":
-        return False
-    idx = _to_half_pi_index(parsed[1]["theta"])
-    if idx is None:
-        return False
-    targets = instr.targets_copy()
-    if instr.name == "SPP_DAG":
-        idx = (4 - idx) % 4
-    for gate in {0: [], 1: ["SPP"], 2: ["SPP", "SPP"], 3: ["SPP_DAG"]}[idx]:
-        out.append(gate, targets, None)
-    return True
-
-
-def _try_clifford_expansion(instr: CircuitInstruction):
-    if instr.name != "I" or not instr.tag:
-        return None
-    parsed = parse_parametric_tag(instr)
-    if parsed is None:
-        return None
-    gate_name, params = parsed
-    gates = parametric_to_clifford_gates(gate_name, params)
-    if gates is None:
-        return None
-    return gates, [t.value for t in instr.targets_copy()]

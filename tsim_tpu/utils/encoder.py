@@ -1,9 +1,11 @@
 """Transversal QEC encoders for code-level benchmark circuits.
 
-Re-implementation of the reference's encoder utilities (reference
-``tsim/utils/encoder.py``): broadcast a logical program across code blocks,
-expanding DETECTOR/OBSERVABLE annotations per stabilizer generator /
-logical support.
+Feature parity with the reference's encoder utilities (reference
+``src/tsim/utils/encoder.py:82,176,211``): rewrite a logical program into an
+encoded physical circuit by fanning each qubit target out over code blocks,
+replicating DETECTOR lines per stabilizer generator and OBSERVABLE_INCLUDE
+lines per logical support. Unlike the reference, Pauli-product instructions
+(MPP/SPP/TPP) keep their Pauli types and combiner structure when broadcast.
 """
 
 from __future__ import annotations
@@ -11,89 +13,35 @@ from __future__ import annotations
 from .. import stim_core
 from ..circuit import Circuit
 from ..stim_core import Circuit as StimCircuit
-from ..stim_core.instruction import CircuitRepeatBlock
+
+_PAULI_TARGET = {
+    "X": stim_core.target_x,
+    "Y": stim_core.target_y,
+    "Z": stim_core.target_z,
+}
 
 
-def broadcast_targets(groups, *, stride: int, offsets: list[int]) -> list[int]:
-    out: list[int] = []
-    for g in groups:
-        for off in offsets:
-            out.extend([t.value * stride + off for t in g])
-    return out
-
-
-def _transform_circuit(
-    program_text: str,
-    *,
-    stride: int,
-    offsets: list[int],
-    used_qubits: set[int] | None = None,
-    stabilizer_generators=None,
-    observables=None,
-) -> StimCircuit:
-    stim_circ = Circuit(program_text)._stim_circ.flattened()
-    mod = StimCircuit()
-    for instr in stim_circ:
-        assert not isinstance(instr, CircuitRepeatBlock)
-        if len(instr.targets_copy()) == 0:
-            mod.append(instr)
-            continue
-        if used_qubits is not None:
-            used_qubits |= {t.value for g in instr.target_groups() for t in g}
-        if instr.name == "DETECTOR" and stabilizer_generators:
-            for gen in stabilizer_generators:
-                targets = []
-                for g in instr.target_groups():
-                    for t in g:
-                        targets.extend(
-                            stim_core.target_rec(t.value * stride + off) for off in gen
-                        )
-                mod.append(instr.name, targets, instr.gate_args_copy() or None,
-                           tag=instr.tag)
-            continue
-        if instr.name == "OBSERVABLE_INCLUDE" and observables:
-            for obs in observables:
-                targets = []
-                for g in instr.target_groups():
-                    for t in g:
-                        targets.extend(
-                            stim_core.target_rec(t.value * stride + off) for off in obs
-                        )
-                mod.append(instr.name, targets, instr.gate_args_copy(), tag=instr.tag)
-            continue
-        groups = instr.target_groups()
-        if any(t.is_pauli_target for g in groups for t in g):
-            # Pauli-product instructions (MPP/SPP/TPP): one product per
-            # offset, preserving pauli types and combiner structure.
-            targets: list = []
-            for g in groups:
-                for off in offsets:
-                    prod: list = []
-                    for t in g:
-                        if prod:
-                            prod.append(stim_core.target_combiner())
-                        maker = {
-                            "X": stim_core.target_x,
-                            "Y": stim_core.target_y,
-                            "Z": stim_core.target_z,
-                        }[t.pauli_type]
-                        prod.append(
-                            maker(
-                                t.value * stride + off,
-                                invert=t.is_inverted_result_target,
-                            )
-                        )
-                    targets.extend(prod)
-            mod.append(instr.name, targets, instr.gate_args_copy() or None,
-                       tag=instr.tag)
-            continue
-        new_ts = broadcast_targets(groups, stride=stride, offsets=offsets)
-        mod.append(instr.name, new_ts, instr.gate_args_copy() or None, tag=instr.tag)
-    return mod
+def _pauli_product_at(group, qubit_of) -> list:
+    """One combiner-joined Pauli product with every qubit relocated."""
+    prod: list = []
+    for t in group:
+        if prod:
+            prod.append(stim_core.target_combiner())
+        prod.append(
+            _PAULI_TARGET[t.pauli_type](
+                qubit_of(t.value), invert=t.is_inverted_result_target
+            )
+        )
+    return prod
 
 
 class TransversalEncoder:
-    """Broadcasts logical programs across n-qubit code blocks."""
+    """Broadcasts logical programs across n-qubit code blocks.
+
+    ``initialize`` prepares each logical qubit on one physical slot and runs
+    the code's encoding circuit on every used block; ``encode_transversally``
+    replaces each logical gate with its transversal physical version.
+    """
 
     def __init__(
         self,
@@ -111,40 +59,92 @@ class TransversalEncoder:
         self.stabilizer_generators = stabilizer_generators
         self.observables = observables
 
-    def initialize(self, program_text: str, encoding_program_text: str | None = None):
+    # -- public API ---------------------------------------------------------
+
+    def initialize(
+        self, program_text: str, encoding_program_text: str | None = None
+    ) -> None:
+        """Run logical state prep on one slot per block, then encode each block."""
         encoding = encoding_program_text or self.encoding_program_text
         if not encoding:
             raise ValueError("Encoding program text is required")
-        mod = _transform_circuit(
-            program_text,
-            stride=self.n,
-            offsets=[self.encoding_qubit],
-            used_qubits=self.used_qubits,
-            stabilizer_generators=self.stabilizer_generators,
-            observables=self.observables,
+        self._splice(
+            program_text, [self.encoding_qubit], stride=self.n, track=True
         )
-        self.circuit.append_from_stim_program_text(str(mod))
-        self.circuit.append_from_stim_program_text(
-            str(
-                _transform_circuit(
-                    encoding,
-                    stride=1,
-                    offsets=[self.n * off for off in sorted(self.used_qubits)],
-                    stabilizer_generators=self.stabilizer_generators,
-                    observables=self.observables,
-                )
-            )
-        )
+        block_starts = [self.n * q for q in sorted(self.used_qubits)]
+        self._splice(encoding, block_starts, stride=1)
 
     def encode_transversally(self, program_text: str) -> None:
-        mod = _transform_circuit(
-            program_text,
-            stride=self.n,
-            offsets=list(range(self.n)),
-            stabilizer_generators=self.stabilizer_generators,
-            observables=self.observables,
-        )
-        self.circuit.append_from_stim_program_text(str(mod))
+        """Apply each logical gate to every physical qubit of its block(s)."""
+        self._splice(program_text, list(range(self.n)), stride=self.n)
+
+    def diagram(self, **kwargs):
+        """Timeline SVG of the encoded physical circuit."""
+        return self.circuit.diagram("timeline-svg", **kwargs)
+
+    # -- rewriting core -----------------------------------------------------
+
+    def _annotation_supports(self, name: str) -> list[list[int]] | None:
+        """Rec-offset fanout sets for annotation instructions, else None."""
+        if name == "DETECTOR" and self.stabilizer_generators:
+            return self.stabilizer_generators
+        if name == "OBSERVABLE_INCLUDE" and self.observables:
+            return self.observables
+        return None
+
+    def _splice(
+        self,
+        program_text: str,
+        offsets: list[int],
+        *,
+        stride: int,
+        track: bool = False,
+    ) -> None:
+        """Broadcast ``program_text`` over code blocks and append the result.
+
+        Qubit target q fans out to ``{q*stride + o for o in offsets}``.
+        Measurement-record lookbacks in annotations fan out the same way,
+        once per support set from ``_annotation_supports``. With ``track``,
+        record which logical qubits the program touches (used by
+        ``initialize`` to know which blocks need encoding).
+        """
+        out = StimCircuit()
+        for ins in Circuit(program_text)._stim_circ.flattened():
+            groups = ins.target_groups()
+            if not groups:
+                out.append(ins)
+                continue
+            if track:
+                self.used_qubits.update(t.value for grp in groups for t in grp)
+            name, tag = ins.name, ins.tag
+            args = ins.gate_args_copy() or None
+            supports = self._annotation_supports(name)
+            if supports is not None:
+                recs = [t.value for grp in groups for t in grp]
+                for members in supports:
+                    fanned = [
+                        stim_core.target_rec(r * stride + m)
+                        for r in recs
+                        for m in members
+                    ]
+                    out.append(name, fanned, args, tag=tag)
+            elif any(t.is_pauli_target for grp in groups for t in grp):
+                prods: list = []
+                for grp in groups:
+                    for off in offsets:
+                        prods.extend(
+                            _pauli_product_at(grp, lambda q: q * stride + off)
+                        )
+                out.append(name, prods, args, tag=tag)
+            else:
+                fanned = [
+                    t.value * stride + off
+                    for grp in groups
+                    for off in offsets
+                    for t in grp
+                ]
+                out.append(name, fanned, args, tag=tag)
+        self.circuit.append_from_stim_program_text(str(out))
 
 
 class SteaneEncoder(TransversalEncoder):

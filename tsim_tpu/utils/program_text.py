@@ -1,13 +1,15 @@
 """tsim shorthand <-> Stim-dialect program text conversion.
 
-Same rewrite table as reference ``tsim/utils/program_text.py``: T/TPP/R_*/U3
-and CCZ/CCX shorthand become tagged Stim instructions and back.
+Same rewrite-table *semantics* as the reference (reference
+``src/tsim/utils/program_text.py:126,227``): T/TPP/R_*/U3 shorthand becomes
+tagged Stim instructions and back, CCZ/CCX expand to Clifford+T lines.
+Implementation here is table-driven: the CCZ sequence, the T-family renames
+and both rewrite directions are data applied by one small engine.
 """
 
 from __future__ import annotations
 
 import re
-from collections.abc import Callable
 
 from ..core.tags import decode_t_user_tag, encode_t_tag
 
@@ -21,6 +23,23 @@ _GATE_USAGE_RE = re.compile(
     r"(?<!\[)\b(CCZ\b|CCX\b|R_PAULI\([^)]*\)|R_[XYZ]{1,2}\([^)]*\)|R_[XYZ]\b|U3\([^)]*\)|U3\b)"
 )
 
+# Standard 7-T CCZ circuit over (a, b, c) = (control1, control2, target),
+# stored as (gate, operand letters). CCX wraps it in H on the target.
+_CCZ_SEQUENCE = (
+    ("CNOT", "bc"), ("T_DAG", "c"), ("CNOT", "ac"), ("T", "c"),
+    ("CNOT", "bc"), ("T_DAG", "c"), ("CNOT", "ac"), ("T", "b"),
+    ("T", "c"), ("CNOT", "ab"), ("T", "a"), ("T_DAG", "b"), ("CNOT", "ab"),
+)
+
+# Shorthand gate name -> Stim gate name, in match-priority order (longer
+# names first so e.g. TPP_DAG never partially matches as T).
+_T_FAMILY = (
+    ("TPP_DAG", "SPP_DAG"),
+    ("TPP", "SPP"),
+    ("T_DAG", "S_DAG"),
+    ("T", "S"),
+)
+
 
 def controlled_gate_decomposition_lines(
     gate: str,
@@ -30,81 +49,56 @@ def controlled_gate_decomposition_lines(
     *,
     tag: str = "",
 ) -> list[str]:
-    """Clifford+T decomposition of CCZ / CCX."""
+    """Clifford+T decomposition of CCZ / CCX as program-text lines."""
     if gate not in ("CCZ", "CCX"):
         raise ValueError(f"Unsupported controlled-controlled gate: {gate!r}")
-
-    def tg(name: str) -> str:
-        return f"{name}[{tag}]" if tag else name
-
-    a, b, c = str(control1), str(control2), str(target)
-    ccz = [
-        f"{tg('CNOT')} {b} {c}",
-        f"{tg('T_DAG')} {c}",
-        f"{tg('CNOT')} {a} {c}",
-        f"{tg('T')} {c}",
-        f"{tg('CNOT')} {b} {c}",
-        f"{tg('T_DAG')} {c}",
-        f"{tg('CNOT')} {a} {c}",
-        f"{tg('T')} {b}",
-        f"{tg('T')} {c}",
-        f"{tg('CNOT')} {a} {b}",
-        f"{tg('T')} {a}",
-        f"{tg('T_DAG')} {b}",
-        f"{tg('CNOT')} {a} {b}",
+    operand = {"a": str(control1), "b": str(control2), "c": str(target)}
+    suffix = f"[{tag}]" if tag else ""
+    body = [
+        f"{name}{suffix} " + " ".join(operand[x] for x in ops)
+        for name, ops in _CCZ_SEQUENCE
     ]
-    if gate == "CCZ":
-        return ccz
-    return [f"{tg('H')} {c}", *ccz, f"{tg('H')} {c}"]
+    if gate == "CCX":
+        h_line = f"H{suffix} {operand['c']}"
+        body = [h_line, *body, h_line]
+    return body
 
 
 def _expand_controlled_gates(text: str) -> str:
-    lines: list[str] = []
+    """Expand every CCZ/CCX line (3k targets each) into Clifford+T lines."""
+    ccx_line = re.compile(r"^(\s*)(CCZ|CCX)(?:\[([^\]\n]*)\])?\s+(.+?)\s*$")
+    out: list[str] = []
     for line in text.splitlines():
-        body, sep, comment = line.partition("#")
-        m = re.match(r"^(\s*)(CCZ|CCX)(?:\[([^\]\n]*)\])?\s+(.+?)\s*$", body)
-        if not m:
-            lines.append(line)
+        body, hash_sep, comment = line.partition("#")
+        m = ccx_line.match(body)
+        if m is None:
+            out.append(line)
             continue
-        indent, gate, tag, targets_text = m.groups()
-        targets = targets_text.split()
-        if len(targets) % 3 != 0 or not all(t.isdecimal() for t in targets):
+        indent, gate, tag, rest = m.groups()
+        qubits = rest.split()
+        if len(qubits) % 3 != 0 or not all(q.isdecimal() for q in qubits):
             raise ValueError(
                 f"{gate} expects bare qubit integer targets in groups of three."
             )
-        if sep:
-            lines.append(f"{indent}{sep}{comment}")
-        for i in range(0, len(targets), 3):
-            lines.extend(
-                f"{indent}{dl}"
+        if hash_sep:
+            out.append(f"{indent}{hash_sep}{comment}")
+        for a, b, c in zip(qubits[0::3], qubits[1::3], qubits[2::3]):
+            out += [
+                indent + dl
                 for dl in controlled_gate_decomposition_lines(
-                    gate, targets[i], targets[i + 1], targets[i + 2], tag=tag or ""
+                    gate, a, b, c, tag=tag or ""
                 )
-            )
-    return "\n".join(lines)
-
-
-def _replace_t_family(stim_gate: str) -> Callable:
-    def replace(m: re.Match) -> str:
-        return f"{stim_gate}[{encode_t_tag(m.group(1) or '')}]"
-
-    return replace
-
-
-def _replace_t_family_shorthand(tsim_gate: str) -> Callable:
-    def replace(m: re.Match) -> str:
-        user_tag = decode_t_user_tag(m.group(1))
-        return f"{tsim_gate}[{user_tag}]" if user_tag else tsim_gate
-
-    return replace
+            ]
+    return "\n".join(out)
 
 
 def enriched_stim_error(exc: ValueError, converted_text: str) -> ValueError:
-    m = _GATE_NOT_FOUND_RE.search(str(exc))
-    if not m or m.group(1) not in _TSIM_GATES:
+    """Point 'Gate not found' errors at the unconverted shorthand usage."""
+    hit = _GATE_NOT_FOUND_RE.search(str(exc))
+    if hit is None or hit.group(1) not in _TSIM_GATES:
         return exc
     usage = _GATE_USAGE_RE.search(converted_text)
-    if not usage:
+    if usage is None:
         return exc
     return ValueError(f"Could not parse '{usage.group()}' in program text.")
 
@@ -121,119 +115,132 @@ def format_angle(x) -> str:
     return f"{float(x):.12g}"
 
 
+# --- rewrite handlers (forward: shorthand -> stim) --------------------------
+
+
+def _fwd_same_axis_pair(m: re.Match) -> str:
+    axis, alpha, q0, q1 = m.groups()
+    if q0 == q1:
+        raise ValueError(
+            f"R_{axis}{axis} target qubits must be distinct, got {q0} {q1}."
+        )
+    return f"SPP[R_PAULI(theta={float(alpha)}*pi)] {axis}{q0}*{axis}{q1}"
+
+
+def _fwd_r_pauli(m: re.Match) -> str:
+    return f"SPP[R_PAULI(theta={float(m.group(1))}*pi)] {m.group(2)}"
+
+
+def _fwd_rotation(m: re.Match) -> str:
+    return f"I[R_{m.group(1)}(theta={float(m.group(2))}*pi)]"
+
+
+def _fwd_u3(m: re.Match) -> str:
+    th, ph, la = (float(m.group(k)) for k in (1, 2, 3))
+    return f"I[U3(theta={th}*pi, phi={ph}*pi, lambda={la}*pi)]"
+
+
+def _fwd_canonical_literal(m: re.Match) -> str:
+    # Equal angles in different notations (0.5e-2 vs 0.005) must produce the
+    # same tag string, or round-trip equality across notations breaks.
+    return f"{m.group(1)}={float(m.group(2))}*pi"
+
+
+# --- rewrite handlers (backward: stim -> shorthand) --------------------------
+
+
+def _bwd_u3(m: re.Match) -> str:
+    return f"U3({m.group(1)}, {m.group(2)}, {m.group(3)})"
+
+
+def _bwd_same_axis_pair(m: re.Match) -> str:
+    alpha, axis, q0, q1 = m.groups()
+    return f"R_{axis}{axis}({alpha}) {q0} {q1}"
+
+
+def _bwd_r_pauli(m: re.Match) -> str:
+    return f"R_PAULI({m.group(1)}) {m.group(2)}"
+
+
+def _bwd_rotation(m: re.Match) -> str:
+    return f"R_{m.group(1)}({m.group(2)})"
+
+
+def _rule_table(pairs):
+    return tuple((re.compile(pat), fn) for pat, fn in pairs)
+
+
+def _t_encode(stim_name: str):
+    def sub(m: re.Match) -> str:
+        return f"{stim_name}[{encode_t_tag(m.group(1) or '')}]"
+
+    return sub
+
+
+def _t_decode(shorthand_name: str):
+    def sub(m: re.Match) -> str:
+        user = decode_t_user_tag(m.group(1))
+        return f"{shorthand_name}[{user}]" if user else shorthand_name
+
+    return sub
+
+
+# Ordered rule tables, compiled once at import. Order matters twice: the
+# T family is ordered longest-name-first (see _T_FAMILY), and the same-axis
+# pair rule must run before the generic R_PAULI rule in both directions.
+_FORWARD_RULES = _rule_table(
+    [
+        (rf"(?<!\[)\b{sh}(?:\[([^\]\n]*)\])?(?!\w)", _t_encode(st))
+        for sh, st in _T_FAMILY
+    ]
+    + [
+        (rf"\bR_([XYZ])\1\(({FLOAT_RE})\)\s+(\d+)\s+(\d+)", _fwd_same_axis_pair),
+        (rf"\bR_PAULI\(({FLOAT_RE})\)\s+((?:[XYZ]\d+)(?:\*[XYZ]\d+)*)", _fwd_r_pauli),
+        (rf"\bR_([XYZ])\(({FLOAT_RE})\)", _fwd_rotation),
+        (
+            rf"\bU3\(({FLOAT_RE})\s*,\s*({FLOAT_RE})\s*,\s*({FLOAT_RE})\)",
+            _fwd_u3,
+        ),
+        (rf"\b(theta|phi|lambda)=({FLOAT_RE})\*pi", _fwd_canonical_literal),
+    ]
+)
+
+_BACKWARD_RULES = _rule_table(
+    [
+        (
+            rf"\bI\[U3\(theta=({FLOAT_RE})\*pi, phi=({FLOAT_RE})\*pi,"
+            rf" lambda=({FLOAT_RE})\*pi\)\]",
+            _bwd_u3,
+        ),
+        (
+            rf"\bSPP\[R_PAULI\(theta=({FLOAT_RE})\*pi\)\]"
+            rf" ([XYZ])(\d+)\*\2(\d+)(?!\*)\b",
+            _bwd_same_axis_pair,
+        ),
+        (
+            rf"\bSPP\[R_PAULI\(theta=({FLOAT_RE})\*pi\)\]"
+            rf" ((?:[XYZ]\d+)(?:\*[XYZ]\d+)*)",
+            _bwd_r_pauli,
+        ),
+        (rf"\bI\[R_([XYZ])\(theta=({FLOAT_RE})\*pi\)\]", _bwd_rotation),
+    ]
+    + [
+        (rf"(?<!\w){st}\[(T(?::[^\]\n]*)?)\](?!\w)", _t_decode(sh))
+        for sh, st in _T_FAMILY
+    ]
+)
+
+
 def shorthand_to_stim(text: str) -> str:
     """Convert tsim shorthand to valid Stim-dialect instructions."""
     text = _expand_controlled_gates(text)
-
-    text = re.sub(
-        r"(?<!\[)\bTPP_DAG(?:\[([^\]\n]*)\])?(?!\w)", _replace_t_family("SPP_DAG"), text
-    )
-    text = re.sub(
-        r"(?<!\[)\bTPP(?:\[([^\]\n]*)\])?(?!\w)", _replace_t_family("SPP"), text
-    )
-    text = re.sub(
-        r"(?<!\[)\bT_DAG(?:\[([^\]\n]*)\])?(?!\w)", _replace_t_family("S_DAG"), text
-    )
-    text = re.sub(r"(?<!\[)\bT(?:\[([^\]\n]*)\])?(?!\w)", _replace_t_family("S"), text)
-
-    def replace_pauli_pair(m: re.Match) -> str:
-        pauli = m.group(1)
-        alpha = float(m.group(2))
-        q0, q1 = m.group(3), m.group(4)
-        if q0 == q1:
-            raise ValueError(
-                f"R_{pauli}{pauli} target qubits must be distinct, got {q0} {q1}."
-            )
-        return f"SPP[R_PAULI(theta={alpha}*pi)] {pauli}{q0}*{pauli}{q1}"
-
-    text = re.sub(
-        rf"\bR_([XYZ])\1\(({FLOAT_RE})\)\s+(\d+)\s+(\d+)", replace_pauli_pair, text
-    )
-
-    def replace_pauli(m: re.Match) -> str:
-        return f"SPP[R_PAULI(theta={float(m.group(1))}*pi)] {m.group(2)}"
-
-    text = re.sub(
-        rf"\bR_PAULI\(({FLOAT_RE})\)\s+((?:[XYZ]\d+)(?:\*[XYZ]\d+)*)",
-        replace_pauli,
-        text,
-    )
-
-    def replace_rotation(m: re.Match) -> str:
-        return f"I[R_{m.group(1)}(theta={float(m.group(2))}*pi)]"
-
-    text = re.sub(rf"\bR_([XYZ])\(({FLOAT_RE})\)", replace_rotation, text)
-
-    def replace_u3(m: re.Match) -> str:
-        theta, phi, lam = float(m.group(1)), float(m.group(2)), float(m.group(3))
-        return f"I[U3(theta={theta}*pi, phi={phi}*pi, lambda={lam}*pi)]"
-
-    text = re.sub(
-        rf"\bU3\(({FLOAT_RE})\s*,\s*({FLOAT_RE})\s*,\s*({FLOAT_RE})\)", replace_u3, text
-    )
-
-    def canonicalize(m: re.Match) -> str:
-        return f"{m.group(1)}={float(m.group(2))}*pi"
-
-    text = re.sub(rf"\b(theta|phi|lambda)=({FLOAT_RE})\*pi", canonicalize, text)
+    for pattern, handler in _FORWARD_RULES:
+        text = pattern.sub(handler, text)
     return text
 
 
 def stim_to_shorthand(text: str) -> str:
     """Convert expanded Stim annotations back to tsim shorthand."""
-
-    def replace_u3(m: re.Match) -> str:
-        return f"U3({m.group(1)}, {m.group(2)}, {m.group(3)})"
-
-    text = re.sub(
-        rf"\bI\[U3\(theta=({FLOAT_RE})\*pi, phi=({FLOAT_RE})\*pi, lambda=({FLOAT_RE})\*pi\)\]",
-        replace_u3,
-        text,
-    )
-
-    def replace_pauli_pair(m: re.Match) -> str:
-        return f"R_{m.group(2)}{m.group(2)}({m.group(1)}) {m.group(3)} {m.group(4)}"
-
-    text = re.sub(
-        rf"\bSPP\[R_PAULI\(theta=({FLOAT_RE})\*pi\)\] ([XYZ])(\d+)\*\2(\d+)(?!\*)\b",
-        replace_pauli_pair,
-        text,
-    )
-
-    def replace_pauli(m: re.Match) -> str:
-        return f"R_PAULI({m.group(1)}) {m.group(2)}"
-
-    text = re.sub(
-        rf"\bSPP\[R_PAULI\(theta=({FLOAT_RE})\*pi\)\] ((?:[XYZ]\d+)(?:\*[XYZ]\d+)*)",
-        replace_pauli,
-        text,
-    )
-
-    def replace_rotation(m: re.Match) -> str:
-        return f"R_{m.group(1)}({m.group(2)})"
-
-    text = re.sub(
-        rf"\bI\[R_([XYZ])\(theta=({FLOAT_RE})\*pi\)\]", replace_rotation, text
-    )
-
-    text = re.sub(
-        r"(?<!\w)SPP_DAG\[(T(?::[^\]\n]*)?)\](?!\w)",
-        _replace_t_family_shorthand("TPP_DAG"),
-        text,
-    )
-    text = re.sub(
-        r"(?<!\w)SPP\[(T(?::[^\]\n]*)?)\](?!\w)",
-        _replace_t_family_shorthand("TPP"),
-        text,
-    )
-    text = re.sub(
-        r"(?<!\w)S_DAG\[(T(?::[^\]\n]*)?)\](?!\w)",
-        _replace_t_family_shorthand("T_DAG"),
-        text,
-    )
-    text = re.sub(
-        r"(?<!\w)S\[(T(?::[^\]\n]*)?)\](?!\w)",
-        _replace_t_family_shorthand("T"),
-        text,
-    )
+    for pattern, handler in _BACKWARD_RULES:
+        text = pattern.sub(handler, text)
     return text
