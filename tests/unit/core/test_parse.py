@@ -210,3 +210,435 @@ class TestParseStimCircuit:
         c = tsim_tpu.Circuit("HERALDED_ERASE(0.1) 0\nM 0")
         b = parse_stim_circuit(c.cast_to_stim())
         assert len(b.rec) == 2  # herald + measurement
+
+
+# ------------------------------------------------------- correlated errors
+class TestCorrelatedErrorStructure:
+    def test_single_e_instruction_one_channel(self):
+        b = parse_stim_circuit(tsim_tpu.Circuit("E(0.1) X0\nM 0").cast_to_stim())
+        assert len(b.channel_probs) == 1
+        assert list(b.channel_probs[0]) == pytest.approx([0.9, 0.1])
+
+    def test_y_error_bit_touches_x_and_z_spiders(self):
+        # Y = XZ: the single error bit lands on two spiders (X and Z parts).
+        b = parse_stim_circuit(tsim_tpu.Circuit("Y_ERROR(0.1) 0\nM 0").cast_to_stim())
+        g = b.graph
+        carriers = [v for v in g.vertices() if "e0" in g.get_params(v)]
+        assert len(carriers) == 2
+
+    def test_error_vertices_carry_e_params(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("X_ERROR(0.2) 0\nZ_ERROR(0.3) 1\nM 0 1").cast_to_stim()
+        )
+        g = b.graph
+        eparams = set()
+        for v in g.vertices():
+            eparams |= {p for p in g.get_params(v) if p.startswith("e")}
+        assert eparams == {"e0", "e1"}
+
+    def test_chain_spans_multiple_qubits(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("E(0.1) X0 X1 X2\nM 0 1 2").cast_to_stim()
+        )
+        assert len(b.channel_probs) == 1
+        g = b.graph
+        carriers = [v for v in g.vertices() if "e0" in g.get_params(v)]
+        assert len(carriers) == 3
+
+    def test_two_separate_chains_two_channels(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit(
+                "E(0.1) X0\nELSE_CORRELATED_ERROR(0.2) Z0\nE(0.3) X1\nM 0 1"
+            ).cast_to_stim()
+        )
+        assert len(b.channel_probs) == 2
+        assert len(b.channel_probs[0]) == 4  # 2-alternative chain
+        assert len(b.channel_probs[1]) == 2
+
+    def test_chain_probabilities_are_exclusive(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit(
+                "E(0.5) X0\nELSE_CORRELATED_ERROR(0.5) Z0\nM 0"
+            ).cast_to_stim()
+        )
+        [probs] = b.channel_probs
+        # P(first)=0.5, P(second)=0.5*0.5, P(neither)=0.25; one-hot encoding.
+        assert probs.sum() == pytest.approx(1.0)
+        assert sorted(probs, reverse=True)[:3] == pytest.approx([0.5, 0.25, 0.25])
+
+
+# ---------------------------------------------------------- heralded noise
+class TestHeraldedChannels:
+    def test_heralded_erase_outcome_distribution(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("HERALDED_ERASE(0.2) 0\nM 0").cast_to_stim()
+        )
+        [probs] = b.channel_probs
+        assert probs[0] == pytest.approx(0.8)
+        assert sorted(probs[1:], reverse=True)[:4] == pytest.approx([0.05] * 4)
+
+    def test_heralded_erase_adds_herald_record(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("HERALDED_ERASE(0.2) 0\nM 0").cast_to_stim()
+        )
+        assert len(b.rec) == 2
+
+    def test_heralded_erase_multiple_targets_independent(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("HERALDED_ERASE(0.2) 0 1\nM 0 1").cast_to_stim()
+        )
+        assert len(b.channel_probs) == 2
+        assert len(b.rec) == 4
+
+    def test_heralded_pauli_channel_1_distribution(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit(
+                "HERALDED_PAULI_CHANNEL_1(0.01,0.02,0.03,0.04) 0\nM 0"
+            ).cast_to_stim()
+        )
+        [probs] = b.channel_probs
+        assert probs[0] == pytest.approx(0.9)
+        assert probs.sum() == pytest.approx(1.0)
+        assert sorted(probs[1:], reverse=True)[:4] == pytest.approx(
+            [0.04, 0.03, 0.02, 0.01]
+        )
+
+
+# ------------------------------------------------------ probability channels
+class TestProbabilityChannels:
+    @pytest.mark.parametrize(
+        "text,outcomes",
+        [
+            ("X_ERROR(0.1) 0", 2),
+            ("Y_ERROR(0.1) 0", 2),
+            ("Z_ERROR(0.1) 0", 2),
+            ("DEPOLARIZE1(0.1) 0", 4),
+            ("DEPOLARIZE2(0.1) 0 1", 16),
+            ("PAULI_CHANNEL_1(0.01,0.02,0.03) 0", 4),
+        ],
+    )
+    def test_channel_outcome_counts(self, text, outcomes):
+        b = parse_stim_circuit(tsim_tpu.Circuit(text + "\nM 0 1").cast_to_stim())
+        assert len(b.channel_probs) == 1
+        assert len(b.channel_probs[0]) == outcomes
+
+    def test_pauli_channel_2_outcomes(self):
+        args = ",".join(["0.01"] * 15)
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit(f"PAULI_CHANNEL_2({args}) 0 1\nM 0 1").cast_to_stim()
+        )
+        assert len(b.channel_probs) == 1
+        assert len(b.channel_probs[0]) == 16
+        assert b.channel_probs[0][0] == pytest.approx(0.85)
+
+    @pytest.mark.parametrize("gate", ["M", "MR", "MX", "MRX"])
+    def test_noisy_measurement_single_flip_channel(self, gate):
+        # The MR family must not double-count measurement noise: exactly one
+        # flip channel per noisy measurement.
+        b = parse_stim_circuit(tsim_tpu.Circuit(f"{gate}(0.01) 0").cast_to_stim())
+        assert len(b.channel_probs) == 1
+        assert list(b.channel_probs[0]) == pytest.approx([0.99, 0.01])
+
+    def test_repeated_error_instructions_are_independent(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("X_ERROR(0.1) 0\nX_ERROR(0.1) 0\nM 0").cast_to_stim()
+        )
+        assert len(b.channel_probs) == 2
+
+    @pytest.mark.parametrize("text", ["II_ERROR(0.1) 0 1", "II_ERROR 0 1"])
+    def test_identity_error_creates_no_channel(self, text):
+        b = parse_stim_circuit(tsim_tpu.Circuit(text + "\nM 0 1").cast_to_stim())
+        assert len(b.channel_probs) == 0
+
+    def test_ii_error_multiple_pairs_no_channels(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("II_ERROR(0.3) 0 1 2 3\nM 0 1 2 3").cast_to_stim()
+        )
+        assert len(b.channel_probs) == 0
+
+    def test_error_bit_indices_allocated_in_program_order(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("X_ERROR(0.1) 0\nDEPOLARIZE1(0.2) 1\nM 0 1").cast_to_stim()
+        )
+        g = b.graph
+        eparams = set()
+        for v in g.vertices():
+            eparams |= {p for p in g.get_params(v) if p.startswith("e")}
+        # 1 bit for the flip channel + 2 bits for the 4-outcome depolarizer
+        assert eparams == {"e0", "e1", "e2"}
+        assert b.num_error_bits == 3
+
+
+# ------------------------------------------------------------ repeat blocks
+class TestRepeatAndStructure:
+    def test_nested_repeat_blocks(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("REPEAT 2 {\nREPEAT 3 {\nM 0\n}\n}").cast_to_stim()
+        )
+        assert len(b.rec) == 6
+
+    def test_repeat_block_with_noise_channels(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("REPEAT 3 {\nX_ERROR(0.1) 0\n}\nM 0").cast_to_stim()
+        )
+        assert len(b.channel_probs) == 3
+
+    def test_empty_circuit(self):
+        b = parse_stim_circuit(tsim_tpu.Circuit("").cast_to_stim())
+        assert b.rec == []
+        assert b.channel_probs == []
+        assert b.detectors == []
+
+    def test_mixed_error_kinds_ordered(self):
+        # Correlated-error chains finalize (and append their channel) when
+        # the next non-ELSE instruction arrives, so the E channel lands after
+        # the depolarizer despite appearing before it in the program.
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit(
+                "X_ERROR(0.1) 0\nE(0.2) X0 Z1\nDEPOLARIZE1(0.3) 1\nM 0 1"
+            ).cast_to_stim()
+        )
+        assert sorted(len(p) for p in b.channel_probs) == [2, 2, 4]
+
+
+# ------------------------------------------------------------------- MPAD
+class TestMpad:
+    def test_single_zero_pad(self):
+        b = parse_stim_circuit(tsim_tpu.Circuit("MPAD 0").cast_to_stim())
+        assert len(b.rec) == 1
+        assert b.silent_rec == []
+
+    def test_single_one_pad(self):
+        b = parse_stim_circuit(tsim_tpu.Circuit("MPAD 1").cast_to_stim())
+        assert len(b.rec) == 1
+        assert len(b.channel_probs) == 0
+
+    def test_multiple_targets(self):
+        b = parse_stim_circuit(tsim_tpu.Circuit("MPAD 1 1 0").cast_to_stim())
+        assert len(b.rec) == 3
+
+    def test_mixed_with_measurements(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("M 0\nMPAD 1\nM 1\nDETECTOR rec[-2]").cast_to_stim()
+        )
+        assert len(b.rec) == 3
+
+    def test_inside_repeat_block(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("REPEAT 2 {\nMPAD 1\n}").cast_to_stim()
+        )
+        assert len(b.rec) == 2
+
+    def test_pad_value_is_deterministic(self):
+        c = tsim_tpu.Circuit("MPAD 1 0\nDETECTOR rec[-2]\nDETECTOR rec[-1]")
+        s = c.compile_detector_sampler(seed=0)
+        out = s.sample(16)
+        assert out[:, 0].all() and not out[:, 1].any()
+
+
+# ---------------------------------------------------------- MXX/MYY/MZZ
+class TestPairMeasurements:
+    @pytest.mark.parametrize("gate", ["MXX", "MYY", "MZZ"])
+    def test_single_pair_one_record(self, gate):
+        b = parse_stim_circuit(tsim_tpu.Circuit(f"{gate} 0 1").cast_to_stim())
+        assert len(b.rec) == 1
+        assert len(b.channel_probs) == 0
+
+    @pytest.mark.parametrize("gate", ["MXX", "MYY", "MZZ"])
+    def test_multiple_pairs(self, gate):
+        b = parse_stim_circuit(tsim_tpu.Circuit(f"{gate} 0 1 2 3").cast_to_stim())
+        assert len(b.rec) == 2
+
+    @pytest.mark.parametrize("gate", ["MXX", "MYY", "MZZ"])
+    def test_flip_probability_adds_channel_per_pair(self, gate):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit(f"{gate}(0.01) 0 1 2 3").cast_to_stim()
+        )
+        assert len(b.channel_probs) == 2
+        for p in b.channel_probs:
+            assert list(p) == pytest.approx([0.99, 0.01])
+
+    def test_mzz_deterministic_on_bell_pair(self):
+        c = tsim_tpu.Circuit("H 0\nCNOT 0 1\nMZZ 0 1\nDETECTOR rec[-1]")
+        out = c.compile_detector_sampler(seed=0).sample(32)
+        assert not out.any()
+
+    def test_mxx_mixed_with_measurements(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("MXX 0 1\nM 2\nMZZ 3 4").cast_to_stim()
+        )
+        assert len(b.rec) == 3
+
+    def test_mpp_with_flip_probability(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("MPP(0.02) X0*X1 Z2").cast_to_stim()
+        )
+        assert len(b.rec) == 2
+        assert len(b.channel_probs) == 2
+        for p in b.channel_probs:
+            assert list(p) == pytest.approx([0.98, 0.02])
+
+
+# ------------------------------------------------------------- SPP algebra
+class TestSppUnitaries:
+    def _mat(self, text):
+        return tsim_tpu.Circuit(text).to_matrix()
+
+    def test_spp_single_pauli_phases_minus_eigenspace(self):
+        import numpy as np
+
+        m = self._mat("SPP Z0")
+        assert m == pytest.approx(np.diag([1, 1j]))
+
+    def test_spp_dag_single_pauli(self):
+        import numpy as np
+
+        m = self._mat("SPP_DAG Z0")
+        assert m == pytest.approx(np.diag([1, -1j]))
+
+    def test_spp_product_two_qubits(self):
+        import numpy as np
+
+        m = self._mat("SPP Z0*Z1")
+        assert m == pytest.approx(np.diag([1, 1j, 1j, 1]))
+
+    def test_spp_repeated_pauli_cancels_to_identity(self):
+        # Full cancellation leaves an empty product: a scalar-1 circuit.
+        m = self._mat("SPP X0*X0")
+        assert m.shape == (1, 1)
+        assert m[0, 0] == pytest.approx(1.0)
+
+    def test_spp_partial_cancel(self):
+        m1 = self._mat("SPP X0*X0*Z1")
+        m2 = self._mat("SPP Z1")
+        assert m1 == pytest.approx(m2)
+
+    def test_spp_anticommuting_sign_flips_dagger(self):
+        # X0 Y0 X1 Y1 = (iZ0)(iZ1) = -Z0 Z1: SPP(-P) == SPP_DAG(P).
+        m1 = self._mat("SPP X0*Y0*X1*Y1")
+        m2 = self._mat("SPP_DAG Z0*Z1")
+        assert m1 == pytest.approx(m2)
+
+    def test_spp_dag_anticommuting_sign_flips_to_plain(self):
+        m1 = self._mat("SPP_DAG X0*Y0*X1*Y1")
+        m2 = self._mat("SPP Z0*Z1")
+        assert m1 == pytest.approx(m2)
+
+    def test_spp_anti_hermitian_raises(self):
+        with pytest.raises(ValueError, match="anti-Hermitian"):
+            parse_stim_circuit(tsim_tpu.Circuit("SPP X0*Y0").cast_to_stim())
+
+    def test_spp_multiple_products_compose(self):
+        # Two products in one instruction == the two instructions in sequence.
+        m1 = self._mat("SPP X0 Z1")
+        m2 = self._mat("SPP X0\nSPP Z1")
+        assert m1 == pytest.approx(m2)
+
+    def test_tpp_is_t_gate_on_z(self):
+        import numpy as np
+
+        m = self._mat("TPP Z0")
+        w = np.exp(1j * np.pi / 4)
+        assert m == pytest.approx(np.diag([1, w]))
+
+    def test_tpp_dag_inverse(self):
+        import numpy as np
+
+        m = self._mat("TPP Z0") @ self._mat("TPP_DAG Z0")
+        assert m == pytest.approx(np.eye(2))
+
+    def test_tpp_product_eighth_turn(self):
+        import numpy as np
+
+        m = self._mat("TPP Z0*Z1")
+        w = np.exp(1j * np.pi / 4)
+        assert m == pytest.approx(np.diag([1, w, w, 1]))
+
+
+# ------------------------------------------------------------ MPP algebra
+class TestMppAlgebra:
+    def test_full_cancel_reduces_to_deterministic_pad(self):
+        # X0*X0 = +I: the measurement is deterministically 0.
+        c = tsim_tpu.Circuit("MPP X0*X0\nDETECTOR rec[-1]")
+        out = c.compile_detector_sampler(seed=0).sample(16)
+        assert not out.any()
+
+    def test_full_cancel_inverted_reads_one(self):
+        c = tsim_tpu.Circuit("MPP !X0*X0\nDETECTOR rec[-1]")
+        out = c.compile_detector_sampler(seed=0).sample(16)
+        assert out.all()
+
+    def test_anticommuting_sign_with_explicit_invert(self):
+        # (X0 Y0)(X1 Y1) = -Z0 Z1; the explicit ! cancels the algebra sign.
+        [(paulis, invert)] = _products("MPP !X0*Y0*X1*Y1")
+        assert paulis == [("Z", 0), ("Z", 1)]
+        assert not invert
+
+    def test_combines_to_single_pauli_with_sign(self):
+        # Z0 X0 Z0 = -X0... via pairs: X0*Y0*Y0*X0 cancels fully to +I.
+        [(paulis, invert)] = _products("MPP X0*Y0*Y0*X0")
+        assert paulis == []
+        assert not invert
+
+    def test_multiple_products_have_independent_state(self):
+        prods = _products("MPP X0*Y0*X1*Y1 Z2")
+        assert [inv for _, inv in prods] == [True, False]
+
+    def test_anti_hermitian_multi_qubit_raises(self):
+        # X0 Y0 Z1 = (iZ0) Z1: a net factor of i over two qubits.
+        with pytest.raises(ValueError, match="anti-Hermitian"):
+            _products("MPP X0*Y0*Z1")
+
+    def test_mpp_y_basis_measurement(self):
+        # MPP Y0 on |+i> is deterministic.
+        c = tsim_tpu.Circuit("H 0\nS 0\nMPP Y0\nDETECTOR rec[-1]")
+        out = c.compile_detector_sampler(seed=0).sample(16)
+        assert not out.any()
+
+
+# ----------------------------------------------------- detectors/observables
+class TestDetectorsAndObservables:
+    def test_empty_detector_alone(self):
+        b = parse_stim_circuit(tsim_tpu.Circuit("DETECTOR").cast_to_stim())
+        assert len(b.detectors) == 1
+
+    def test_empty_observable_alone(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("OBSERVABLE_INCLUDE(0)").cast_to_stim()
+        )
+        assert list(b.observables_dict) == [0]
+
+    def test_empty_detector_after_measurement(self):
+        b = parse_stim_circuit(tsim_tpu.Circuit("M 0\nDETECTOR").cast_to_stim())
+        assert len(b.detectors) == 1
+
+    def test_empty_detector_with_coordinate_args(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("M 0\nDETECTOR(1, 2, 3)").cast_to_stim()
+        )
+        assert len(b.detectors) == 1
+
+    def test_detector_pauli_target_rejected(self):
+        from tsim_tpu import stim_core
+
+        sc = StimCircuit("M 0")
+        with pytest.raises(ValueError, match="[Pp]auli|target"):
+            sc.append("DETECTOR", [stim_core.target_x(0)])
+
+    def test_record_targets_accepted(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit("M 0 1\nDETECTOR rec[-1] rec[-2]").cast_to_stim()
+        )
+        assert len(b.detectors) == 1
+
+    def test_observables_sorted_after_out_of_order(self):
+        b = parse_stim_circuit(
+            tsim_tpu.Circuit(
+                "M 0\nOBSERVABLE_INCLUDE(3) rec[-1]\nOBSERVABLE_INCLUDE(1) rec[-1]"
+            ).cast_to_stim()
+        )
+        assert list(b.observables_dict.keys()) == [0, 1, 2, 3]
+
+    def test_no_observables_remains_empty(self):
+        b = parse_stim_circuit(tsim_tpu.Circuit("M 0\nDETECTOR rec[-1]").cast_to_stim())
+        assert b.observables_dict == {}

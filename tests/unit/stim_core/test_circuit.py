@@ -123,3 +123,18 @@ def test_append_api():
     c.append("OBSERVABLE_INCLUDE", [target_rec(-1)], 0)
     c.append("SPP", [target_x(0)], tag="T")
     assert str(c) == "H 0 1\nX_ERROR(0.25) 0\nOBSERVABLE_INCLUDE(0) rec[-1]\nSPP[T] X0"
+
+
+def test_correlated_error_rejects_combiners():
+    # stim parity: E takes bare pauli targets, not products.
+    import pytest
+
+    from tsim_tpu.stim_core import Circuit
+
+    with pytest.raises(ValueError, match="combiners"):
+        Circuit("E(0.1) X0*X1")
+    with pytest.raises(ValueError, match="combiners"):
+        Circuit("ELSE_CORRELATED_ERROR(0.1) Z0*Z1")
+    # MPP/SPP still accept them.
+    Circuit("MPP X0*X1")
+    Circuit("SPP X0*Z1")

@@ -77,3 +77,27 @@ def test_measurement_sampler_sharded(mesh):
     # P(1) = 0.5*0.7 + 0.5*0.3 = 0.5 (X flips the |+> measurement in Z? no:
     # on |T> state P(m=1)=0.5; the X error commutes the rate to 0.5 too).
     assert abs(m.mean() - 0.5) < 0.05
+
+
+def test_state_probs_sharded_matches_unsharded(mesh):
+    # The batch-sharded estimator must agree with the unsharded body on the
+    # same f-sample stream (identical seed => identical channel samples).
+    c = Circuit(CIRCUIT)
+    sharded = c.compile_state_probs(seed=21, mesh=mesh)
+    assert sharded._mesh is mesh
+    base = c.compile_state_probs(seed=21, mesh=None)
+    state = np.zeros(sharded._program.num_outputs, dtype=np.uint8)
+    p_sharded = sharded.probability_of(state, batch_size=64)
+    p_base = base.probability_of(state, batch_size=64)
+    np.testing.assert_allclose(p_sharded, p_base, rtol=1e-6, atol=1e-9)
+    assert ((p_sharded >= 0) & (p_sharded <= 1 + 1e-9)).all()
+
+
+def test_state_probs_sharded_indivisible_batch_falls_back(mesh):
+    # batch not divisible by the mesh size: runs unsharded, same results.
+    c = Circuit(CIRCUIT)
+    sharded = c.compile_state_probs(seed=22, mesh=mesh)
+    state = np.zeros(sharded._program.num_outputs, dtype=np.uint8)
+    p = sharded.probability_of(state, batch_size=33)
+    assert p.shape == (33,)
+    assert np.isfinite(p).all()

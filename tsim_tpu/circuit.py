@@ -393,11 +393,13 @@ class Circuit:
         sample_detectors: bool = False,
         strategy: str = "cat5",
         seed: int | None = None,
+        mesh="auto",
     ):
         from .sampler import CompiledStateProbs
 
         return CompiledStateProbs(
-            self, sample_detectors=sample_detectors, strategy=strategy, seed=seed
+            self, sample_detectors=sample_detectors, strategy=strategy, seed=seed,
+            mesh=mesh,
         )
 
     def detector_error_model(

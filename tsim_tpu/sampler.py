@@ -1168,6 +1168,47 @@ class CompiledStateProbs(_CompiledSamplerBase):
         if state.shape != (expected,):
             raise ValueError(f"state must have shape ({expected},), got {state.shape}")
         f_samples = jnp.asarray(self._channel_sampler.sample(batch_size))
+        mesh = self._mesh
+        if (
+            mesh is not None
+            and batch_size % mesh.devices.size == 0
+            and mesh.devices.size > 1
+        ):
+            # Shard the batch axis of the whole estimator over the mesh. All
+            # ops are elementwise over shots, so XLA partitions them without
+            # collectives; the state vector is replicated.
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            fn = self._state_probs_runner(f_samples.shape, mesh)
+            f_samples = jax.device_put(f_samples, NamedSharding(mesh, P(axis)))
+            return np.asarray(fn(f_samples, jnp.asarray(state)))
+        return np.asarray(self._probability_body(f_samples, state))
+
+    def _state_probs_runner(self, f_shape, mesh):
+        """Cached batch-sharded jit of the probability estimator body."""
+        key = (id(self._program), f_shape, id(mesh), "state_probs")
+        entry = _PROGRAM_RUNNERS.get(key)
+        if entry is not None:
+            return entry[0]
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        fn = jax.jit(
+            self._probability_body,
+            in_shardings=(
+                NamedSharding(mesh, P(axis)),
+                NamedSharding(mesh, P()),
+            ),
+        )
+        _PROGRAM_RUNNERS[key] = (fn, self._program)
+        return fn
+
+    def _probability_body(self, f_samples, state):
+        """P(state | f) / norm over the batch; pure jax, shard-friendly."""
+        batch_size = f_samples.shape[0]
         p_norm = jnp.ones(batch_size)
         p_joint = jnp.ones(batch_size)
 
@@ -1197,9 +1238,9 @@ class CompiledStateProbs(_CompiledSamplerBase):
             f_selected = static_take_columns(f_samples, component.f_selection)
             norm_circuit, joint_circuit = component.compiled_scalar_graphs
             p_norm = p_norm * evaluate_abs(norm_circuit, f_selected)
-            component_state = state[list(component.output_indices)]
+            component_state = state[np.asarray(component.output_indices, np.int32)]
             tiled = jnp.tile(jnp.asarray(component_state), (batch_size, 1))
             joint_params = jnp.hstack([f_selected, tiled])
             p_joint = p_joint * evaluate_abs(joint_circuit, joint_params)
 
-        return np.asarray(p_joint / p_norm)
+        return p_joint / p_norm

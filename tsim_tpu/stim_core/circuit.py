@@ -121,7 +121,7 @@ def _validate_targets(name: str, data: GateData, targets, line: str) -> None:
     for t in targets:
         if t.is_pauli_target and not data.takes_pauli_targets:
             raise ValueError(f"Gate {name} doesn't take pauli targets: {line!r}")
-        if t.is_combiner and not data.takes_pauli_targets:
+        if t.is_combiner and not data.takes_combiners:
             raise ValueError(f"Gate {name} doesn't take combiners: {line!r}")
         if t.is_measurement_record_target and not (
             data.takes_rec_targets or data.is_annotation

@@ -22,6 +22,10 @@ class GateData:
     is_reset: bool = False
     is_annotation: bool = False
     takes_pauli_targets: bool = False
+    # Combiners (``*``) join pauli targets into products; only the pauli
+    # product instructions accept them (correlated errors take bare pauli
+    # targets — stim rejects ``E(0.1) X0*X1``).
+    takes_combiners: bool = False
     takes_rec_targets: bool = False
     inverse: str | None = None  # name of inverse gate (unitary only)
 
@@ -107,8 +111,8 @@ for nm, inv in [
         "CX", "CNOT", "ZCX", "CY", "ZCY", "CZ", "ZCZ", "XCZ", "YCZ"))
 
 # ---- Pauli product gates ----
-_add("SPP", 0, is_unitary=True, inverse="SPP_DAG", takes_pauli_targets=True)
-_add("SPP_DAG", 0, is_unitary=True, inverse="SPP", takes_pauli_targets=True)
+_add("SPP", 0, is_unitary=True, inverse="SPP_DAG", takes_pauli_targets=True, takes_combiners=True)
+_add("SPP_DAG", 0, is_unitary=True, inverse="SPP", takes_pauli_targets=True, takes_combiners=True)
 
 # ---- noise channels ----
 _add("X_ERROR", 1, args=(1, 1), is_noise=True)
@@ -139,7 +143,7 @@ for nm in ["MR", "MRZ", "MRX", "MRY"]:
     _add(nm, 1, args=(0, 1), produces_measurements=True, is_reset=True)
 for nm in ["MXX", "MYY", "MZZ"]:
     _add(nm, 2, args=(0, 1), produces_measurements=True)
-_add("MPP", 0, args=(0, 1), produces_measurements=True, takes_pauli_targets=True)
+_add("MPP", 0, args=(0, 1), produces_measurements=True, takes_pauli_targets=True, takes_combiners=True)
 _add("MPAD", 1, args=(0, 1), produces_measurements=True)
 for nm in ["R", "RZ", "RX", "RY"]:
     _add(nm, 1, is_reset=True)
