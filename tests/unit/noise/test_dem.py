@@ -122,3 +122,119 @@ def test_non_deterministic_observable_dem():
     assert dem.num_observables == 1
     txt = str(dem)
     assert "error(0.1) D0" in txt
+
+
+# ------------------------------------------------------- decompose_errors
+import numpy as np
+import pytest
+
+from tsim_tpu.noise.dem import get_detector_error_model
+
+
+def _mechanism_sets(dem):
+    """{(frozen dets, frozen obs): prob} with suggested components recombined."""
+    out = {}
+    for instr in dem:
+        if instr.type != "error":
+            continue
+        dets, obs = set(), set()
+        for t in instr.targets_copy():
+            if t.is_relative_detector_id():
+                dets.symmetric_difference_update({t.val})
+            elif t.is_logical_observable_id():
+                obs.symmetric_difference_update({t.val})
+        out[(frozenset(dets), frozenset(obs))] = instr.args_copy()[0]
+    return out
+
+
+def test_decompose_errors_surface_code_graphlike():
+    from tsim_tpu.models.surface_code import rotated_surface_code_memory_z
+
+    c = rotated_surface_code_memory_z(
+        3, 2,
+        after_clifford_depolarization=0.01,
+        before_measure_flip_probability=0.01,
+    ).cast_to_stim()
+    plain = get_detector_error_model(
+        c, allow_non_deterministic_observables=False
+    )
+    dec = get_detector_error_model(
+        c, allow_non_deterministic_observables=False, decompose_errors=True
+    )
+    # every component is graphlike (<= 2 detectors)
+    saw_separator = False
+    for instr in dec:
+        if instr.type != "error":
+            continue
+        comp_dets = 0
+        for t in instr.targets_copy():
+            if t.is_separator():
+                saw_separator = True
+                assert comp_dets <= 2
+                comp_dets = 0
+            elif t.is_relative_detector_id():
+                comp_dets += 1
+        assert comp_dets <= 2
+    assert saw_separator  # depolarization produces Y-type hyperedges
+    # recombined mechanisms identical to the undecomposed model
+    assert _mechanism_sets(dec).keys() == _mechanism_sets(plain).keys()
+    for k, p in _mechanism_sets(plain).items():
+        assert _mechanism_sets(dec)[k] == pytest.approx(p)
+
+
+def test_decompose_errors_failure_raises():
+    import tsim_tpu
+
+    # One 3-detector mechanism and nothing graphlike to build from.
+    c = tsim_tpu.Circuit(
+        "E(0.1) X0 X1 X2\nM 0 1 2\n"
+        "DETECTOR rec[-3]\nDETECTOR rec[-2]\nDETECTOR rec[-1]"
+    ).cast_to_stim()
+    with pytest.raises(ValueError, match="[Dd]ecompose"):
+        get_detector_error_model(
+            c, allow_non_deterministic_observables=False, decompose_errors=True
+        )
+    dem = get_detector_error_model(
+        c,
+        allow_non_deterministic_observables=False,
+        decompose_errors=True,
+        ignore_decomposition_failures=True,
+    )
+    [err] = [i for i in dem if i.type == "error"]
+    assert sum(1 for t in err.targets_copy() if t.is_separator()) == 0
+
+
+def test_decompose_errors_remnant_edge_control():
+    import tsim_tpu
+
+    # {D0} exists graphlike; {D1, D2} must be invented as a remnant edge.
+    text = (
+        "E(0.1) X0 X1 X2\nX_ERROR(0.05) 0\nM 0 1 2\n"
+        "DETECTOR rec[-3]\nDETECTOR rec[-2]\nDETECTOR rec[-1]"
+    )
+    c = tsim_tpu.Circuit(text).cast_to_stim()
+    dem = get_detector_error_model(
+        c, allow_non_deterministic_observables=False, decompose_errors=True
+    )
+    big = [
+        i for i in dem
+        if i.type == "error"
+        and sum(1 for t in i.targets_copy() if t.is_relative_detector_id()) == 3
+    ]
+    [err] = big
+    assert sum(1 for t in err.targets_copy() if t.is_separator()) == 1
+    with pytest.raises(ValueError, match="[Dd]ecompose"):
+        get_detector_error_model(
+            c,
+            allow_non_deterministic_observables=False,
+            decompose_errors=True,
+            block_decomposition_from_introducing_remnant_edges=True,
+        )
+
+
+def test_decompose_errors_rejected_with_non_deterministic_observables():
+    import tsim_tpu
+
+    c = tsim_tpu.Circuit("X_ERROR(0.1) 0\nM 0\nDETECTOR rec[-1]").cast_to_stim()
+    with pytest.raises(ValueError, match="non-deterministic"):
+        get_detector_error_model(c, decompose_errors=True)

@@ -31,18 +31,21 @@ def get_detector_error_model(
     ignore_decomposition_failures: bool = False,
     block_decomposition_from_introducing_remnant_edges: bool = False,
 ) -> DetectorErrorModel:
-    if decompose_errors:
+    if decompose_errors and allow_non_deterministic_observables:
         raise ValueError(
             "Decomposition of error mechanisms is not supported when allowing "
             "non-deterministic observables."
-            if allow_non_deterministic_observables
-            else "decompose_errors is not supported."
         )
     if not allow_non_deterministic_observables:
         return circuit_to_dem(
             stim_circuit,
             allow_gauge_detectors=allow_gauge_detectors,
             approximate_disjoint_errors=approximate_disjoint_errors,
+            decompose_errors=decompose_errors,
+            ignore_decomposition_failures=ignore_decomposition_failures,
+            block_decomposition_from_introducing_remnant_edges=(
+                block_decomposition_from_introducing_remnant_edges
+            ),
         )
 
     # Rewrite OBSERVABLE_INCLUDEs as end-of-circuit DETECTORs with shifted

@@ -213,8 +213,20 @@ def circuit_to_dem(
     allow_gauge_detectors: bool = False,
     approximate_disjoint_errors: bool | float = False,
     flatten_loops: bool = True,
+    decompose_errors: bool = False,
+    ignore_decomposition_failures: bool = False,
+    block_decomposition_from_introducing_remnant_edges: bool = False,
 ) -> DetectorErrorModel:
-    """Derive the detector error model of a noisy Clifford circuit."""
+    """Derive the detector error model of a noisy Clifford circuit.
+
+    With ``decompose_errors=True``, every error touching 3+ detectors is
+    split into graphlike components (<=2 detectors each, separated by ``^``
+    suggestion targets) whose symptom sets partition the error's and whose
+    observable flips XOR to the error's — stim's decomposition contract.
+    At most one component may be a "remnant" edge absent from the model
+    (disallowed entirely by the ``block_...`` flag). Failures raise unless
+    ``ignore_decomposition_failures`` leaves the error undecomposed.
+    """
     flat = circuit.flattened()
     nq = max(circuit.num_qubits, 1)
     num_meas = flat.num_measurements
@@ -491,9 +503,30 @@ def circuit_to_dem(
             continue
         prev = combined.get(mask, 0.0)
         combined[mask] = prev + p - 2 * prev * p
+    decompositions: dict[int, list[tuple[int, ...]] | None] = {}
+    if decompose_errors:
+        decompositions = _decompose_all(
+            combined,
+            num_det,
+            allow_remnant=not block_decomposition_from_introducing_remnant_edges,
+            ignore_failures=ignore_decomposition_failures,
+        )
     dem = DetectorErrorModel()
     for mask in sorted(combined):
         p = combined[mask]
+        parts = decompositions.get(mask)
+        if parts is not None:
+            targets = []
+            for i, part_mask in enumerate(parts):
+                if i:
+                    targets.append(target_separator())
+                targets += [
+                    target_relative_detector_id(b) if b < num_det
+                    else target_logical_observable_id(b - num_det)
+                    for b in _bits(part_mask)
+                ]
+            dem.append(DemInstruction("error", [p], targets))
+            continue
         targets = [
             target_relative_detector_id(b) if b < num_det
             else target_logical_observable_id(b - num_det)
@@ -510,6 +543,108 @@ def circuit_to_dem(
     # Anchor detector/observable counts (stim records coordinates; we emit
     # nothing for detectors without errors).
     return dem
+
+
+def _detector_partitions(dets: list[int]):
+    """All partitions of ``dets`` into blocks of size 1 or 2, first block
+    always containing dets[0] (canonical enumeration order)."""
+    if not dets:
+        yield []
+        return
+    a, rest = dets[0], dets[1:]
+    for tail in _detector_partitions(rest):
+        yield [(a,)] + tail
+    for i, b in enumerate(rest):
+        for tail in _detector_partitions(rest[:i] + rest[i + 1 :]):
+            yield [(a, b)] + tail
+
+
+def _decompose_all(
+    combined: dict[int, float],
+    num_det: int,
+    *,
+    allow_remnant: bool,
+    ignore_failures: bool,
+):
+    """Split 3+-detector errors into graphlike components (stim semantics).
+
+    Returns {mask: [component_masks] | None}; None = leave undecomposed
+    (graphlike already, or an ignored failure).
+    """
+    det_space = (1 << num_det) - 1
+    # graphlike lookup: detector-set mask -> available observable masks
+    graphlike: dict[int, set[int]] = {}
+    for mask in combined:
+        det_part = mask & det_space
+        if bin(det_part).count("1") <= 2 and det_part:
+            graphlike.setdefault(det_part, set()).add(mask & ~det_space)
+
+    out: dict[int, list[tuple[int, ...]] | None] = {}
+    for mask in combined:
+        det_part = mask & det_space
+        obs_part = mask & ~det_space
+        dets = _bits(det_part)
+        if len(dets) <= 2:
+            out[mask] = None
+            continue
+
+        def attempt(with_remnant: bool):
+            for part in _detector_partitions(dets):
+                block_masks = [sum(1 << d for d in blk) for blk in part]
+                if not with_remnant:
+                    r = _assign_with_remnant(block_masks, None, graphlike, obs_part)
+                    if r is not None:
+                        return r
+                    continue
+                for remnant_idx in range(len(block_masks)):
+                    if block_masks[remnant_idx] in graphlike:
+                        continue  # a known edge never needs remnant status
+                    r = _assign_with_remnant(
+                        block_masks, remnant_idx, graphlike, obs_part
+                    )
+                    if r is not None:
+                        return r
+            return None
+
+        found = attempt(False)
+        if found is None and allow_remnant:
+            found = attempt(True)
+        if found is None:
+            if ignore_failures:
+                out[mask] = None
+                continue
+            raise ValueError(
+                f"Failed to decompose error into graphlike components: "
+                f"detectors {dets}. Pass ignore_decomposition_failures=True "
+                f"to keep it undecomposed."
+            )
+        out[mask] = list(found)
+    return out
+
+
+def _assign_with_remnant(block_masks, remnant_idx, graphlike, obs_part):
+    """Pick observable masks for every non-remnant block (DFS over the
+    model's graphlike choices); the remnant block, if any, takes whatever
+    observable balance remains. ``remnant_idx=None`` requires the chosen
+    observables to XOR exactly to ``obs_part``."""
+    order = [i for i in range(len(block_masks)) if i != remnant_idx]
+
+    def dfs(k, acc, chosen):
+        if k == len(order):
+            if remnant_idx is None:
+                return chosen if acc == obs_part else None
+            remnant = block_masks[remnant_idx] | (obs_part ^ acc)
+            full = chosen[:]
+            full.insert(remnant_idx, remnant)
+            return full
+        bm = block_masks[order[k]]
+        for ob in sorted(graphlike.get(bm, ())):
+            r = dfs(k + 1, acc ^ ob, chosen + [bm | ob])
+            if r is not None:
+                return r
+        return None
+
+    return dfs(0, 0, [])
 
 
 def _rec_controlled_backward(sens, name, t0, t1, meas_mask, m0):
