@@ -184,6 +184,77 @@ class TestDrivers:
         assert_sum_equiv(g, cut_vertex(g.copy(), v))
 
 
+class TestBss6:
+    """Real BSS 6T -> 7 split (reference strategy="bss" semantics,
+    reference ``tsim/compile/stabrank.py:38-52``)."""
+
+    @pytest.mark.parametrize("seed", range(10))
+    def test_random_graphs(self, seed):
+        from tsim_tpu.zx.decompose import split_bss6
+
+        rng = np.random.default_rng(seed)
+        g = ZXGraph()
+        vs = _random_clifford_core(rng, g)
+        magic = []
+        for k in range(6):
+            ph = Fraction([1, 3, 5, 7][rng.integers(0, 4)], 4)
+            v = g.add_vertex(Z, phase=ph)
+            if rng.random() < 0.4:
+                g.set_params(v, {PARAMS[rng.integers(0, 2)]})
+            magic.append(v)
+        for a in vs:
+            for v in magic:
+                if rng.random() < 0.4 and not g.connected(a, v):
+                    g.add_edge((a, v), HADAMARD)
+        # also connect some magic pairs directly (exercises parallel-edge
+        # resolution when the triangle lands on an existing H edge)
+        for a, b in itertools.combinations(magic, 2):
+            if rng.random() < 0.2:
+                g.add_edge((a, b), HADAMARD)
+        _add_boundaries(rng, g, vs + magic)
+        gsum = split_bss6(g.copy(), magic)
+        assert len(gsum.graphs) == 7
+        assert_sum_equiv(g, gsum)
+        # every branch removed all six magic phases
+        for gg in gsum.graphs:
+            assert sum(1 for v in magic if v in set(gg.vertices())
+                       and gg.phase(v).denominator == 4) == 0
+
+    def test_replace_magic_states_bss_uses_bss6(self):
+        g = ZXGraph()
+        anchor = g.add_vertex(Z)
+        for _ in range(6):
+            v = g.add_vertex(Z, phase=Fraction(1, 4))
+            g.add_edge((anchor, v), HADAMARD)
+        out = g.add_vertex(BOUNDARY)
+        g.add_edge((anchor, out), HADAMARD)
+        g.set_outputs([out])
+        gsum = replace_magic_states(g.copy(), strategy="bss")
+        assert len(gsum.graphs) == 7
+        assert_sum_equiv(g, gsum)
+
+    def test_find_stab_bss_term_scaling(self):
+        """12 T phases -> at most 7^2 = 49 terms pre-merge via BSS."""
+        from tsim_tpu.compile.stabrank import find_stab
+
+        g = ZXGraph()
+        anchors = [g.add_vertex(Z) for _ in range(3)]
+        for k in range(12):
+            v = g.add_vertex(Z, phase=Fraction(1, 4))
+            g.add_edge((anchors[k % 3], v), HADAMARD)
+        outs = []
+        for a in anchors:
+            b = g.add_vertex(BOUNDARY)
+            g.add_edge((a, b), HADAMARD)
+            outs.append(b)
+        g.set_outputs(outs)
+        ref = graph_to_tensor(g)
+        terms = find_stab(g.copy(), strategy="bss")
+        assert len(terms) <= 49
+        total = sum(np.asarray(graph_to_tensor(t)) for t in terms)
+        np.testing.assert_allclose(np.asarray(ref), total, atol=1e-8)
+
+
 class TestConjugateGadgetPair:
     @pytest.mark.parametrize("seed", range(10))
     def test_random_graphs(self, seed):

@@ -19,6 +19,7 @@ from __future__ import annotations
 import cmath
 import math
 from fractions import Fraction
+from typing import Sequence
 
 from .graph import BOUNDARY, HADAMARD, SIMPLE, X, Z, ZXGraph
 from .scalar import ExactDyadic, omega_pow_dyadic
@@ -108,6 +109,116 @@ def split_t_pair(g: ZXGraph, v1: int, v2: int) -> GraphSum:
     gB.add_edge((notv, v2), SIMPLE)
     gB.scalar.add_phase(Fraction(1, 4))
     return GraphSum([gA, gB])
+
+
+def _bss_pick(g: ZXGraph, eligible: list[int]) -> list[int]:
+    """Choose 6 magic vertices for a BSS split: prefer low degree (leaves
+    vanish fastest under reduction) and, among the chosen six, put the
+    three with the largest mutual neighbor overlap first (they receive
+    the triangle, which then pivots away locally)."""
+    chosen = sorted(eligible, key=lambda v: (g.degree(v), v))[:6]
+    best = None
+    for tri in _triples(chosen):
+        rest = [v for v in chosen if v not in tri]
+        ov = sum(
+            len(set(g.neighbors(a)) & set(g.neighbors(b)))
+            for i, a in enumerate(tri)
+            for b in tri[i + 1 :]
+        )
+        if best is None or ov > best[0]:
+            best = (ov, list(tri) + rest)
+    return best[1]
+
+
+def _triples(vs):
+    import itertools
+
+    return list(itertools.combinations(vs, 3))
+
+
+def split_bss6(g: ZXGraph, vs: Sequence[int] | None = None) -> GraphSum:
+    """Exact 6-magic-phase -> 7-term stabilizer decomposition (real BSS).
+
+    Implements the reference's ``strategy="bss"`` semantics (reference
+    ``tsim/compile/stabrank.py:38-52``, pyzx-param BSS): chi = 7^(T/6)
+    ~= 2^(0.468 T) instead of the pair split's 2^(T/2).
+
+    Derivation (ours, not a port): with x_v the spider values of six magic
+    vertices, each contributes ``w^{x_v}`` (w = e^{i pi/4}) once an odd
+    pi/4 is factored out. The identity, oracle-derived and verified in
+    dev/derive_bss.py + tests/unit/zx:
+
+      w^{|x|} =   (w/2)   [|x| odd] (-1)^{K3(x1,x2,x3)}
+                + (w^7/2) [|x| odd] (-1)^{K3(x1,x2,x3)} i^{|x|}
+                + ((1+sqrt2) w^3/4)
+                + (-(1+sqrt2) w/4)  i^{|x|}
+                + ((sqrt2-1) w^3/4) (-1)^{|x|}
+                + (-(sqrt2-1) w/4)  (-i)^{|x|}
+                + 2 [x1=...=x6] (-i)^{x1}
+
+    where K3(a,b,c) = ab+ac+bc.  Structurally this is the BSS form: four
+    product terms, a GHZ term, and two parity-selected terms with a
+    triangle quadratic on one triple whose asymmetric parts cancel.
+    Realization: [|x| odd] is a fresh Z(pi) hub H-connected to all six
+    (factor (1-(-1)^{|x|})/sqrt2^6), each K3 edge is an H edge
+    (factor (-1)^{x_a x_b}/sqrt2), the GHZ is a Z(-pi/2) hub
+    simple-connected to all six; power2 compensates every 1/sqrt2.
+    """
+    ts = list(vs) if vs is not None else _t_vertices(g)
+    assert len(ts) >= 6
+    ts = ts[:6]
+    qrow = sum(g.row(v) for v in ts) / 6.0
+    qq = min(g.qubit(v) for v in ts) - 1.0
+
+    def base(extra_phase: Fraction | int) -> ZXGraph:
+        gg = g.copy()
+        for v in ts:
+            gg.add_to_phase(v, Fraction(-1, 4) + Fraction(extra_phase))
+        return gg
+
+    from .rules import add_edge_resolve
+
+    # Four product terms: coefficients c = dyadic/4 (power2 -4).
+    prod_coeffs = [
+        (0, ExactDyadic(-1, 0, 1, 1)),  # 1:      (1+sqrt2) w^3 / 4
+        (Fraction(1, 2), ExactDyadic(-1, -1, -1, 0)),  # i^w:  -(1+sqrt2) w / 4
+        (1, ExactDyadic(-1, 0, 1, -1)),  # (-1)^w: (sqrt2-1) w^3 / 4
+        (Fraction(3, 2), ExactDyadic(-1, 1, -1, 0)),  # (-i)^w: -(sqrt2-1) w / 4
+    ]
+    out = []
+    for extra, dy in prod_coeffs:
+        gg = base(extra)
+        gg.scalar.mul_dyadic(dy)
+        gg.scalar.add_power(-4)
+        out.append(gg)
+
+    # GHZ term: Z(-1/2) hub simple-connected to all six; coefficient 2.
+    gg = base(0)
+    hub = gg.add_vertex(Z, qubit=qq, row=qrow, phase=Fraction(-1, 2))
+    for v in ts:
+        gg.add_edge((hub, v), SIMPLE)
+    gg.scalar.add_power(2)
+    out.append(gg)
+
+    # Two parity terms: Z(pi) hub H-connected to all six plus a triangle of
+    # H edges on the first triple. The hub contributes 2*[|x| odd]/sqrt2^6
+    # (the selector comes with an inherent factor 2), the triangle
+    # sqrt2^-3; coefficient w/2 (resp. w^7/2 = -w^3/2 with i^w phases):
+    # power2 = -2 + 6 + 3 - 2 = +5.
+    for extra, dy, tri in (
+        (0, ExactDyadic(0, 1, 0, 0), ts[:3]),
+        (Fraction(1, 2), ExactDyadic(0, 0, 0, -1), ts[:3]),
+    ):
+        gg = base(extra)
+        hub = gg.add_vertex(Z, qubit=qq, row=qrow, phase=Fraction(1))
+        for v in ts:
+            gg.add_edge((hub, v), HADAMARD)
+        for a, b in ((tri[0], tri[1]), (tri[0], tri[2]), (tri[1], tri[2])):
+            add_edge_resolve(gg, a, b, HADAMARD)
+        gg.scalar.mul_dyadic(dy)
+        gg.scalar.add_power(5)
+        out.append(gg)
+    return GraphSum(out)
 
 
 def _anti_fuse(g: ZXGraph, a: int, b: int) -> None:
@@ -417,6 +528,12 @@ def replace_magic_states(
         return GraphSum([g])
     if strategy == "cutting":
         return cut_vertex(g, ts[0])
+    if strategy == "bss":
+        eligible = [
+            v for v in ts if g.type(v) == Z and not g.is_boundary_registered(v)
+        ]
+        if len(eligible) >= 6:
+            return split_bss6(g, _bss_pick(g, eligible))
     if strategy == "cat5":
         if _PROJ_ORDER == "before":
             motif = _find_projector_gadget_pair(g, ts)
