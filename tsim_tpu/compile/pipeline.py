@@ -27,6 +27,11 @@ from .stabrank import DecompositionBudgetExceeded, find_stab
 DecompositionMode = Literal["sequential", "joint"]
 DecompositionStrategy = Literal["cat5", "bss", "cutting"]
 
+# Term count above which a planner-declined component is re-raced with the
+# BSS fallback. Flagship workloads (d3/d5 distillation, 1-check cultivation)
+# compile well under this, so they never pay the extra variants.
+_BSS_RETRY_THRESHOLD = 512
+
 
 def compile_program(
     prepared: SamplingGraph,
@@ -129,18 +134,20 @@ def _compile_component(
         # The shake pass and pi-hub normalization are heuristics that
         # shrink some decompositions and grow others: compile the variants,
         # keep the smallest term count.
-        from ..zx.decompose import set_pi_hub_normalize
+        from ..zx.decompose import set_pi_hub_normalize, set_t_fallback
 
         best_list = None
         best_base = None
-        for shake, pi_hub in (
-            (True, True),
-            (False, True),
-            (True, False),
-            (False, False),
-        ):
+        variants = [
+            (shake, pi_hub, "pair")
+            for shake, pi_hub in ((True, True), (False, True), (True, False), (False, False))
+        ]
+        queue = list(variants)
+        while queue:
+            shake, pi_hub, fallback = queue.pop(0)
             prev = set_shake(shake)
             prev_ph = set_pi_hub_normalize(pi_hub)
+            prev_fb = set_t_fallback(fallback)
             try:
                 g_copy = plugged.copy()
                 full_reduce(g_copy, paramSafe=True)
@@ -160,9 +167,22 @@ def _compile_component(
             finally:
                 set_shake(prev)
                 set_pi_hub_normalize(prev_ph)
+                set_t_fallback(prev_fb)
             if best_list is None or len(g_list) < len(best_list):
                 best_list = g_list
                 best_base = base
+            # A big best after the pair-fallback round means the planner
+            # declined and the component hit the 2^(T/2) pair recursion:
+            # race the same variants with the BSS 6->7 fallback
+            # (7^(T/6)), budget-capped by the pair result.
+            if (
+                not queue
+                and fallback == "pair"
+                and strategy == "cat5"
+                and best_list is not None
+                and len(best_list) > _BSS_RETRY_THRESHOLD
+            ):
+                queue = [(s, p, "bss") for s, p, _ in variants]
         assert best_list is not None
         if power2_base is None:
             power2_base = best_base

@@ -10,6 +10,8 @@ lines per logical support. Unlike the reference, Pauli-product instructions
 
 from __future__ import annotations
 
+import dataclasses
+
 from .. import stim_core
 from ..circuit import Circuit
 from ..stim_core import Circuit as StimCircuit
@@ -35,29 +37,39 @@ def _pauli_product_at(group, qubit_of) -> list:
     return prod
 
 
+@dataclasses.dataclass(frozen=True)
+class CodeSpec:
+    """Static description of a stabilizer code for transversal encoding.
+
+    ``block_size`` physical qubits per logical qubit; ``injection_slot`` is
+    the in-block index where the logical state is prepared before running
+    ``encoding_text``; ``stabilizers``/``logical_supports`` give the in-block
+    measurement-slot fanouts for DETECTOR / OBSERVABLE_INCLUDE lines.
+    """
+
+    block_size: int
+    injection_slot: int
+    encoding_text: str | None
+    stabilizers: tuple[tuple[int, ...], ...]
+    logical_supports: tuple[tuple[int, ...], ...]
+
+
 class TransversalEncoder:
-    """Broadcasts logical programs across n-qubit code blocks.
+    """Broadcasts logical programs across fixed-size code blocks.
 
     ``initialize`` prepares each logical qubit on one physical slot and runs
     the code's encoding circuit on every used block; ``encode_transversally``
     replaces each logical gate with its transversal physical version.
     """
 
-    def __init__(
-        self,
-        n: int,
-        encoding_qubit: int,
-        encoding_program_text: str | None,
-        stabilizer_generators: list[list[int]],
-        observables: list[list[int]],
-    ):
-        self.n = n
-        self.encoding_qubit = encoding_qubit
+    def __init__(self, spec: CodeSpec):
+        self.spec = spec
         self.circuit = Circuit()
         self.used_qubits: set[int] = set()
-        self.encoding_program_text = encoding_program_text
-        self.stabilizer_generators = stabilizer_generators
-        self.observables = observables
+
+    @property
+    def n(self) -> int:
+        return self.spec.block_size
 
     # -- public API ---------------------------------------------------------
 
@@ -65,18 +77,19 @@ class TransversalEncoder:
         self, program_text: str, encoding_program_text: str | None = None
     ) -> None:
         """Run logical state prep on one slot per block, then encode each block."""
-        encoding = encoding_program_text or self.encoding_program_text
+        encoding = encoding_program_text or self.spec.encoding_text
         if not encoding:
             raise ValueError("Encoding program text is required")
+        size = self.spec.block_size
         self._splice(
-            program_text, [self.encoding_qubit], stride=self.n, track=True
+            program_text, [self.spec.injection_slot], stride=size, track=True
         )
-        block_starts = [self.n * q for q in sorted(self.used_qubits)]
-        self._splice(encoding, block_starts, stride=1)
+        self._splice(encoding, [size * q for q in sorted(self.used_qubits)], stride=1)
 
     def encode_transversally(self, program_text: str) -> None:
         """Apply each logical gate to every physical qubit of its block(s)."""
-        self._splice(program_text, list(range(self.n)), stride=self.n)
+        size = self.spec.block_size
+        self._splice(program_text, list(range(size)), stride=size)
 
     def diagram(self, **kwargs):
         """Timeline SVG of the encoded physical circuit."""
@@ -84,12 +97,12 @@ class TransversalEncoder:
 
     # -- rewriting core -----------------------------------------------------
 
-    def _annotation_supports(self, name: str) -> list[list[int]] | None:
+    def _annotation_supports(self, name: str):
         """Rec-offset fanout sets for annotation instructions, else None."""
-        if name == "DETECTOR" and self.stabilizer_generators:
-            return self.stabilizer_generators
-        if name == "OBSERVABLE_INCLUDE" and self.observables:
-            return self.observables
+        if name == "DETECTOR" and self.spec.stabilizers:
+            return self.spec.stabilizers
+        if name == "OBSERVABLE_INCLUDE" and self.spec.logical_supports:
+            return self.spec.logical_supports
         return None
 
     def _splice(
@@ -172,13 +185,14 @@ class SteaneEncoder(TransversalEncoder):
         Z 5 1
         TICK
         """
-        super().__init__(
-            n=7,
-            encoding_qubit=6,
-            encoding_program_text=encoding_program,
-            stabilizer_generators=[[0, 1, 2, 3], [1, 2, 4, 5], [2, 3, 4, 6]],
-            observables=[[0, 1, 5]],
+        spec = CodeSpec(
+            block_size=7,
+            injection_slot=6,
+            encoding_text=encoding_program,
+            stabilizers=((0, 1, 2, 3), (1, 2, 4, 5), (2, 3, 4, 6)),
+            logical_supports=((0, 1, 5),),
         )
+        super().__init__(spec)
 
 
 class ColorEncoder5(TransversalEncoder):
@@ -212,20 +226,20 @@ class ColorEncoder5(TransversalEncoder):
         X 14 7 5 2 1 4
         Z 11 6 4 2
         """
-        stabs = [
-            [0, 1, 2, 3],
-            [0, 2, 4, 5],
-            [4, 5, 6, 7],
-            [6, 7, 8, 9],
-            [11, 13, 14, 16],
-            [10, 11, 12, 14],
-            [12, 14, 15, 16],
-            [2, 3, 5, 6, 8, 10, 11, 13],
-        ]
-        super().__init__(
-            n=17,
-            encoding_qubit=7,
-            encoding_program_text=encoding_program,
-            stabilizer_generators=stabs,
-            observables=[[1, 3, 10, 12, 15]],
+        spec = CodeSpec(
+            block_size=17,
+            injection_slot=7,
+            encoding_text=encoding_program,
+            stabilizers=(
+                (0, 1, 2, 3),
+                (0, 2, 4, 5),
+                (4, 5, 6, 7),
+                (6, 7, 8, 9),
+                (11, 13, 14, 16),
+                (10, 11, 12, 14),
+                (12, 14, 15, 16),
+                (2, 3, 5, 6, 8, 10, 11, 13),
+            ),
+            logical_supports=((1, 3, 10, 12, 15),),
         )
+        super().__init__(spec)

@@ -535,6 +535,14 @@ def replace_magic_states(
         if len(eligible) >= 6:
             return split_bss6(g, _bss_pick(g, eligible))
     if strategy == "cat5":
+        if _T_FALLBACK == "bss-first":
+            eligible = [
+                v
+                for v in ts
+                if g.type(v) == Z and not g.is_boundary_registered(v)
+            ]
+            if len(eligible) >= 6:
+                return split_bss6(g, _bss_pick(g, eligible))
         if _PROJ_ORDER == "before":
             motif = _find_projector_gadget_pair(g, ts)
             if motif is not None:
@@ -548,6 +556,12 @@ def replace_magic_states(
                 motif = _find_projector_gadget_pair(g, ts, strict=False)
             if motif is not None:
                 return split_gadget_pair_projector(g, *motif)
+    if _T_FALLBACK == "bss":
+        eligible = [
+            v for v in ts if g.type(v) == Z and not g.is_boundary_registered(v)
+        ]
+        if len(eligible) >= 6:
+            return split_bss6(g, _bss_pick(g, eligible))
     if len(ts) >= 2:
         return split_t_pair(g, *_best_t_pair(g, ts))
     return cut_vertex(g, ts[0])
@@ -802,6 +816,25 @@ def replace_u3_states(g: ZXGraph, strategy: str = "cat5") -> GraphSum:
 # 4051 and the reference's published workload has 1024 (reference
 # ``docs/benchmarks.svg`` panel 3).
 # ---------------------------------------------------------------------------
+
+
+_T_FALLBACK = "pair"
+
+
+def set_t_fallback(kind: str) -> str:
+    """Select the last-resort magic-phase split when no planner motif fits.
+
+    ``"pair"`` (default) splits the best T pair (chi = 2^(T/2)); ``"bss"``
+    applies the exact 6->7 BSS identity when >= 6 eligible magic spiders
+    remain (chi = 7^(T/6) ~= 2^(0.468 T)). BSS wins asymptotically but its
+    children merge/prune differently, so the compile pipeline races both on
+    components where the planner declined and keeps the smaller
+    decomposition. Returns the previous value.
+    """
+    global _T_FALLBACK
+    prev = _T_FALLBACK
+    _T_FALLBACK = kind
+    return prev
 
 
 _PI_HUB_NORMALIZE = True
