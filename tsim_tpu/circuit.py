@@ -405,6 +405,7 @@ class Circuit:
     def detector_error_model(
         self,
         *,
+        allow_non_deterministic_observables: bool = True,
         decompose_errors: bool = False,
         flatten_loops: bool = False,
         allow_gauge_detectors: bool = False,
@@ -412,15 +413,28 @@ class Circuit:
         ignore_decomposition_failures: bool = False,
         block_decomposition_from_introducing_remnant_edges: bool = False,
     ):
+        """Build the circuit's detector error model.
+
+        ``allow_non_deterministic_observables`` defaults to True (matching
+        reference ``noise/dem.py:11``): observables whose noiseless value is
+        random get rewritten rather than rejected. Decomposition of error
+        mechanisms requires it to be False (stim semantics).
+        """
         from .noise.dem import get_detector_error_model
 
         return get_detector_error_model(
             self._stim_circ,
-            allow_non_deterministic_observables=True,
+            allow_non_deterministic_observables=(
+                allow_non_deterministic_observables
+            ),
             decompose_errors=decompose_errors,
             flatten_loops=flatten_loops,
             allow_gauge_detectors=allow_gauge_detectors,
             approximate_disjoint_errors=approximate_disjoint_errors,
+            ignore_decomposition_failures=ignore_decomposition_failures,
+            block_decomposition_from_introducing_remnant_edges=(
+                block_decomposition_from_introducing_remnant_edges
+            ),
         )
 
     def compile_m2d_converter(self, *, skip_reference_sample: bool = False):

@@ -122,15 +122,31 @@ def _k_rot(acc, k):
     )
 
 
-def _k_parities(params_ref, x_f32, T, Gt):
+# MXU input dtype for the 0/1 parity matmuls. All three are exact here
+# (operands are 0/1 and row sums are <= P <= 42): measured on the 2-check
+# cultivation workload (dev/cult2_kernel_probe.py, v5e) f32 = 60.5k
+# shots/s, bf16 = 56.2k (the uint8->bf16 cast chain costs more VPU time
+# than the MXU saves at K=42). f32 stays the default; the knob remains
+# for re-measuring on other tile shapes.
+_PARITY_DTYPE = {
+    "f32": jnp.float32,
+    "bf16": jnp.bfloat16,
+    "int8": jnp.int8,
+}[os.environ.get("TSIM_TPU_PARITY_DTYPE", "f32")]
+_PARITY_ACC = jnp.int32 if _PARITY_DTYPE == jnp.int8 else jnp.float32
+
+
+def _k_parities(params_ref, x_mxu, T, Gt):
     """(Bt, T, Gt) int32 parities of params @ x^T mod 2 via one MXU dot."""
-    # uint8 -> int32 -> float32: Mosaic lacks a direct uint8->f32 cast.
-    w = params_ref[...].astype(jnp.int32).astype(jnp.float32).reshape(T * Gt, -1)
+    # uint8 -> int32 -> float: Mosaic lacks a direct uint8->float cast.
+    w = (
+        params_ref[...].astype(jnp.int32).astype(_PARITY_DTYPE).reshape(T * Gt, -1)
+    )
     prod = lax.dot_general(
-        x_f32, w, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        x_mxu, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=_PARITY_ACC,
     )  # (Bt, T*Gt)
-    return prod.astype(jnp.int32).reshape(x_f32.shape[0], T, Gt) & 1
+    return prod.astype(jnp.int32).reshape(x_mxu.shape[0], T, Gt) & 1
 
 
 def _product_body(
@@ -155,7 +171,7 @@ def _product_body(
     pf_pow_ref,       # (1, Gt) int32
 ):
     T1, T2, T3, T4, Gt = dims
-    x = x_ref[...].astype(jnp.int32).astype(jnp.float32)
+    x = x_ref[...].astype(jnp.int32).astype(_PARITY_DTYPE)
     Bt = x.shape[0]
 
     acc = (
@@ -706,15 +722,15 @@ def _product_body_t(
     pf_phase_ref, pf_ff_ref, pf_pow_ref,
 ):
     T1, T2, T3, T4, Gt = dims
-    x = x_ref[...].astype(jnp.int32).astype(jnp.float32)  # (P, Bt)
+    x = x_ref[...].astype(jnp.int32).astype(_PARITY_DTYPE)  # (P, Bt)
     Bt = x.shape[1]
 
     def parities(params_ref, T):
-        w = params_ref[...].astype(jnp.int32).astype(jnp.float32)
+        w = params_ref[...].astype(jnp.int32).astype(_PARITY_DTYPE)
         w = w.reshape(T * Gt, -1)
         prod = lax.dot_general(
             w, x, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_PARITY_ACC,
         )  # (T*Gt, Bt)
         return prod.astype(jnp.int32).reshape(T, Gt, Bt) & 1
 
