@@ -128,11 +128,22 @@ def _k_rot(acc, k):
 # shots/s, bf16 = 56.2k (the uint8->bf16 cast chain costs more VPU time
 # than the MXU saves at K=42). f32 stays the default; the knob remains
 # for re-measuring on other tile shapes.
-_PARITY_DTYPE = {
+_PARITY_DTYPES = {
     "f32": jnp.float32,
     "bf16": jnp.bfloat16,
     "int8": jnp.int8,
-}[os.environ.get("TSIM_TPU_PARITY_DTYPE", "f32")]
+}
+_parity_env = os.environ.get("TSIM_TPU_PARITY_DTYPE", "f32")
+if _parity_env not in _PARITY_DTYPES:
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"Invalid TSIM_TPU_PARITY_DTYPE={_parity_env!r} "
+        f"(expected one of {sorted(_PARITY_DTYPES)}); falling back to 'f32'.",
+        stacklevel=2,
+    )
+    _parity_env = "f32"
+_PARITY_DTYPE = _PARITY_DTYPES[_parity_env]
 _PARITY_ACC = jnp.int32 if _PARITY_DTYPE == jnp.int8 else jnp.float32
 
 

@@ -148,6 +148,7 @@ def _compile_component(
             prev = set_shake(shake)
             prev_ph = set_pi_hub_normalize(pi_hub)
             prev_fb = set_t_fallback(fallback)
+            g_list = None
             try:
                 g_copy = plugged.copy()
                 full_reduce(g_copy, paramSafe=True)
@@ -163,12 +164,16 @@ def _compile_component(
                     max_terms=None if best_list is None else len(best_list),
                 )
             except DecompositionBudgetExceeded:
-                continue
+                # A losing variant aborted; fall through so the BSS
+                # re-queue check below still runs even when the LAST pair
+                # variant is the one that aborted (budget aborts correlate
+                # with exactly the large components the retry targets).
+                pass
             finally:
                 set_shake(prev)
                 set_pi_hub_normalize(prev_ph)
                 set_t_fallback(prev_fb)
-            if best_list is None or len(g_list) < len(best_list):
+            if g_list is not None and (best_list is None or len(g_list) < len(best_list)):
                 best_list = g_list
                 best_base = base
             # A big best after the pair-fallback round means the planner

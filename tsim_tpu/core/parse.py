@@ -109,6 +109,17 @@ _PAULI_PRODUCT: dict[tuple[str, str], tuple[str, int]] = {
 }
 
 
+def _pauli_letter(t) -> Literal["X", "Y", "Z"]:
+    """Map a Pauli target to its letter; raise on non-Pauli targets."""
+    if t.is_x_target:
+        return "X"
+    if t.is_y_target:
+        return "Y"
+    if t.is_z_target:
+        return "Z"
+    raise ValueError(f"Invalid target: {t}")
+
+
 def _validate_r_pauli_targets(instruction: CircuitInstruction) -> None:
     targets = instruction.targets_copy()
     total = sum(1 for t in targets if not t.is_combiner)
@@ -143,16 +154,12 @@ def _iter_pauli_products(
     for idx, t in enumerate(targets):
         if t.is_combiner:
             continue
-        if t.is_x_target:
-            pt = "X"
-        elif t.is_y_target:
-            pt = "Y"
-        elif t.is_z_target:
-            pt = "Z"
-        else:
+        try:
+            pt = _pauli_letter(t)
+        except ValueError:
             raise ValueError(
                 f"Invalid Pauli target in instruction {instruction.name}: {t}"
-            )
+            ) from None
         invert ^= t.is_inverted_result_target
         q = t.value
         if q not in qubit_pauli:
@@ -174,137 +181,193 @@ def _iter_pauli_products(
             invert = False
 
 
+# ---------------------------------------------------------------------------
+# Instruction handlers.
+#
+# ``parse_stim_circuit`` dispatches each instruction through ``_HANDLERS``
+# (one entry per instruction family with bespoke construction logic); anything
+# not claimed by a handler flows through the generic GATE_TABLE path. A
+# handler returns True when it consumed the instruction and False to decline
+# (e.g. a bare ``I`` falls back to the identity builder in GATE_TABLE).
+# ---------------------------------------------------------------------------
+
+_ROTATION_BUILDERS = {
+    "R_X": lambda b, q, ps: r_x(b, q, ps["theta"]),
+    "R_Y": lambda b, q, ps: r_y(b, q, ps["theta"]),
+    "R_Z": lambda b, q, ps: r_z(b, q, ps["theta"]),
+    "U3": lambda b, q, ps: u3(b, q, ps["theta"], ps["phi"], ps["lambda"]),
+}
+
+
+def _noise_arg(ins: CircuitInstruction) -> float:
+    """First gate argument, defaulting to 0 (probability-style args)."""
+    args = ins.gate_args_copy()
+    return args[0] if args else 0
+
+
+def _on_identity(b: GraphRepresentation, ins: CircuitInstruction) -> bool:
+    # A tagged I carries a single-qubit continuous rotation; untagged or
+    # unparsable-tag I declines to the GATE_TABLE identity builder.
+    if not ins.tag:
+        return False
+    parsed = parse_parametric_tag(ins)
+    if parsed is None:
+        return False
+    gate_name, params = parsed
+    build = _ROTATION_BUILDERS.get(gate_name)
+    if build is None:
+        raise ValueError(f"Unknown parametric gate: {gate_name}")
+    for t in ins.targets_copy():
+        build(b, t.value, params)
+    return True
+
+
+def _on_tick(b: GraphRepresentation, ins: CircuitInstruction) -> bool:
+    tick(b)
+    return True
+
+
+def _on_mpp(b: GraphRepresentation, ins: CircuitInstruction) -> bool:
+    p = _noise_arg(ins)
+    for paulis, neg in _iter_pauli_products(ins):
+        mpp(b, paulis, neg, p=p)
+    return True
+
+
+def _on_spp(b: GraphRepresentation, ins: CircuitInstruction) -> bool:
+    # Three flavours share the Pauli-product walk: T-tagged (tpp),
+    # R_PAULI-tagged (continuous rotation), and bare/other-tag (Clifford spp).
+    adjoint = ins.name == "SPP_DAG"
+    theta = None
+    if not is_t_tag(ins.tag):
+        if ins.tag:
+            parsed = parse_parametric_tag(ins)
+            if parsed is not None and parsed[0] == "R_PAULI":
+                _validate_r_pauli_targets(ins)
+                theta = parsed[1]["theta"]
+        for paulis, neg in _iter_pauli_products(ins):
+            if theta is not None:
+                r_pauli(b, paulis, theta, dagger=adjoint ^ neg)
+            else:
+                spp(b, paulis, dagger=adjoint ^ neg)
+        return True
+    for paulis, neg in _iter_pauli_products(ins):
+        tpp(b, paulis, dagger=adjoint ^ neg)
+    return True
+
+
+def _on_mpad(b: GraphRepresentation, ins: CircuitInstruction) -> bool:
+    p = _noise_arg(ins)
+    for t in ins.targets_copy():
+        mpad(b, t.value, p=p)
+    return True
+
+
+def _on_correlated_error(b: GraphRepresentation, ins: CircuitInstruction) -> bool:
+    if ins.name != "ELSE_CORRELATED_ERROR":
+        finalize_correlated_error(b)
+    targets = ins.targets_copy()
+    correlated_error(
+        b,
+        [t.value for t in targets],
+        [_pauli_letter(t) for t in targets],
+        ins.gate_args_copy()[0],
+    )
+    return True
+
+
+def _on_detector(b: GraphRepresentation, ins: CircuitInstruction) -> bool:
+    detector(b, [t.value for t in ins.targets_copy()])
+    return True
+
+
+def _on_observable(b: GraphRepresentation, ins: CircuitInstruction) -> bool:
+    targets = ins.targets_copy()
+    bad = [t for t in targets if not t.is_measurement_record_target]
+    if bad:
+        raise ValueError(
+            f"OBSERVABLE_INCLUDE with Pauli targets is not "
+            f"supported (only measurement record targets "
+            f"like rec[-1] are supported). Got instruction "
+            f"{str(ins)!r}"
+        )
+    observable_include(
+        b, [t.value for t in targets], int(ins.gate_args_copy()[0])
+    )
+    return True
+
+
+_HANDLERS = {
+    "I": _on_identity,
+    "TICK": _on_tick,
+    "MPP": _on_mpp,
+    "SPP": _on_spp,
+    "SPP_DAG": _on_spp,
+    "MPAD": _on_mpad,
+    "E": _on_correlated_error,
+    "CORRELATED_ERROR": _on_correlated_error,
+    "ELSE_CORRELATED_ERROR": _on_correlated_error,
+    "DETECTOR": _on_detector,
+    "OBSERVABLE_INCLUDE": _on_observable,
+}
+
+# S/S_DAG carrying the T marker tag are really T/T_DAG.
+_T_TAG_RENAMES = {"S": "T", "S_DAG": "T_DAG"}
+
+
+def _apply_table_gate(
+    b: GraphRepresentation, name: str, ins: CircuitInstruction
+) -> None:
+    """Generic gate path: chunk targets by arity, honouring invert / rec flags."""
+    entry = GATE_TABLE.get(name)
+    if entry is None:
+        raise ValueError(f"Unknown gate: {name}")
+    build, arity = entry
+    targets = ins.targets_copy()
+    args = ins.gate_args_copy()
+    for start in range(0, len(targets), arity):
+        group = targets[start : start + arity]
+        head = group[0]
+        assert not (head.is_inverted_result_target and head.is_measurement_record_target)
+        flip = False
+        for t in group:
+            flip ^= t.is_inverted_result_target
+        values = [t.value for t in group]
+        if flip:
+            build(b, *values, *args, invert=True)
+            continue
+        rec_flags = [t.is_measurement_record_target for t in group]
+        if any(rec_flags):
+            build(b, *values, *args, classically_controlled=rec_flags)
+        else:
+            build(b, *values, *args)
+
+
 def parse_stim_circuit(stim_circuit: StimCircuit) -> GraphRepresentation:
     """Parse a (stim-core) circuit into a GraphRepresentation."""
     b = GraphRepresentation()
 
     for instruction in stim_circuit.flattened():
         assert not isinstance(instruction, CircuitRepeatBlock)
-        name = instruction.name
-        if name == "SHIFT_COORDS":
-            continue
         if any(t.is_sweep_bit_target for t in instruction.targets_copy()):
             raise NotImplementedError(
                 f"Sweep bit targets (e.g. sweep[N]) are not supported "
                 f"in instruction {str(instruction)!r}"
             )
-        if name == "S" and is_t_tag(instruction.tag):
-            name = "T"
-        elif name == "S_DAG" and is_t_tag(instruction.tag):
-            name = "T_DAG"
-
-        if name == "I" and instruction.tag:
-            result = parse_parametric_tag(instruction)
-            if result is not None:
-                gate_name, params = result
-                for t in instruction.targets_copy():
-                    q = t.value
-                    if gate_name == "R_Z":
-                        r_z(b, q, params["theta"])
-                    elif gate_name == "R_X":
-                        r_x(b, q, params["theta"])
-                    elif gate_name == "R_Y":
-                        r_y(b, q, params["theta"])
-                    elif gate_name == "U3":
-                        u3(b, q, params["theta"], params["phi"], params["lambda"])
-                    else:
-                        raise ValueError(f"Unknown parametric gate: {gate_name}")
-                continue
-
-        if name == "TICK":
-            tick(b)
+        name = instruction.name
+        if name == "SHIFT_COORDS":
             continue
-        if name == "MPP":
-            args = instruction.gate_args_copy()
-            p = args[0] if args else 0
-            for paulis, invert in _iter_pauli_products(instruction):
-                mpp(b, paulis, invert, p=p)
+        if is_t_tag(instruction.tag):
+            name = _T_TAG_RENAMES.get(name, name)
+        handler = _HANDLERS.get(name)
+        if handler is not None and handler(b, instruction):
             continue
-        if name in ("SPP", "SPP_DAG") and is_t_tag(instruction.tag):
-            is_dag = name == "SPP_DAG"
-            for paulis, invert in _iter_pauli_products(instruction):
-                tpp(b, paulis, dagger=is_dag ^ invert)
-            continue
-        if name in ("SPP", "SPP_DAG") and instruction.tag:
-            parsed = parse_parametric_tag(instruction)
-            if parsed is not None and parsed[0] == "R_PAULI":
-                params = parsed[1]
-                _validate_r_pauli_targets(instruction)
-                is_dag = name == "SPP_DAG"
-                for paulis, invert in _iter_pauli_products(instruction):
-                    r_pauli(b, paulis, params["theta"], dagger=is_dag ^ invert)
-                continue
-        if name in ("SPP", "SPP_DAG"):
-            is_dag = name == "SPP_DAG"
-            for paulis, invert in _iter_pauli_products(instruction):
-                spp(b, paulis, dagger=is_dag ^ invert)
-            continue
-        if name == "MPAD":
-            args = instruction.gate_args_copy()
-            p = args[0] if args else 0
-            for t in instruction.targets_copy():
-                mpad(b, t.value, p=p)
-            continue
-        if name in ("E", "CORRELATED_ERROR", "ELSE_CORRELATED_ERROR"):
-            if name != "ELSE_CORRELATED_ERROR":
-                finalize_correlated_error(b)
-            qubits = [t.value for t in instruction.targets_copy()]
-            types: list[Literal["X", "Y", "Z"]] = []
-            for t in instruction.targets_copy():
-                if t.is_x_target:
-                    types.append("X")
-                elif t.is_y_target:
-                    types.append("Y")
-                elif t.is_z_target:
-                    types.append("Z")
-                else:
-                    raise ValueError(f"Invalid target: {t}")
-            correlated_error(b, qubits, types, instruction.gate_args_copy()[0])
-            continue
-        if name == "DETECTOR":
-            detector(b, [t.value for t in instruction.targets_copy()])
-            continue
-        if name == "OBSERVABLE_INCLUDE":
-            targets_copy = instruction.targets_copy()
-            for t in targets_copy:
-                if not t.is_measurement_record_target:
-                    raise ValueError(
-                        f"OBSERVABLE_INCLUDE with Pauli targets is not "
-                        f"supported (only measurement record targets "
-                        f"like rec[-1] are supported). Got instruction "
-                        f"{str(instruction)!r}"
-                    )
-            observable_include(
-                b,
-                [t.value for t in targets_copy],
-                int(instruction.gate_args_copy()[0]),
-            )
-            continue
-
-        if name not in GATE_TABLE:
-            raise ValueError(f"Unknown gate: {name}")
-        gate_func, num_qubits = GATE_TABLE[name]
-        targets = [t.value for t in instruction.targets_copy()]
-        invert = [t.is_inverted_result_target for t in instruction.targets_copy()]
-        is_cc = [t.is_measurement_record_target for t in instruction.targets_copy()]
-        args = instruction.gate_args_copy()
-
-        for i0 in range(0, len(targets), num_qubits):
-            chunk = targets[i0 : i0 + num_qubits]
-            cc_chunk = is_cc[i0 : i0 + num_qubits]
-            chunk_inverted = False
-            for j in range(min(num_qubits, len(targets) - i0)):
-                chunk_inverted ^= invert[i0 + j]
-            assert not (invert[i0] and is_cc[i0])
-            if chunk_inverted:
-                gate_func(b, *chunk, *args, invert=True)
-            elif any(cc_chunk):
-                gate_func(b, *chunk, *args, classically_controlled=cc_chunk)
-            else:
-                gate_func(b, *chunk, *args)
+        _apply_table_gate(b, name, instruction)
 
     finalize_correlated_error(b)
 
+    # Materialize missing observable ids as deterministic-zero placeholders
+    # and keep the dict sorted by index.
     for idx in range(stim_circuit.num_observables):
         if idx not in b.observables_dict:
             observable_include(b, [], idx)

@@ -363,6 +363,68 @@ def _program_runner_packed(program: CompiledProgram, example_f, mesh=None):
 _FETCH_WORKERS = 4
 
 
+class _DaemonFetchPool:
+    """Minimal submit/Future pool whose workers are daemon threads.
+
+    ``concurrent.futures.ThreadPoolExecutor`` workers are non-daemon and are
+    joined at interpreter exit; a hung ``jax.device_get`` (the remote-tunnel
+    hang mode documented in ``_drain_fetches``) would then wedge process
+    shutdown even after ``shutdown(wait=False)`` — it does not cancel
+    in-flight calls. Daemon workers keep exit clean while preserving the
+    submit/Future interface the drain loops use.
+    """
+
+    def __init__(self, max_workers: int):
+        import queue
+        import threading
+
+        self._tasks: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._threads = []
+        for i in range(max_workers):
+            t = threading.Thread(
+                target=self._work, name=f"tsim-fetch-{i}", daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+
+    def _work(self) -> None:
+        while True:
+            item = self._tasks.get()
+            if item is None:
+                return
+            fut, fn, args = item
+            if not fut.set_running_or_notify_cancel():
+                continue
+            try:
+                fut.set_result(fn(*args))
+            except BaseException as exc:  # noqa: BLE001 — delivered via Future
+                fut.set_exception(exc)
+
+    def submit(self, fn, *args):
+        from concurrent.futures import Future
+
+        fut = Future()
+        self._tasks.put((fut, fn, args))
+        return fut
+
+    def shutdown(self, wait: bool = False, cancel_futures: bool = False) -> None:
+        import queue
+
+        if cancel_futures:
+            while True:
+                try:
+                    item = self._tasks.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item[0].cancel()
+        for _ in self._threads:
+            self._tasks.put(None)
+        if wait:
+            for t in self._threads:
+                t.join()
+
+
 def _drain_fetches(pending):
     """Yield ``jax.device_get(item)`` per pending batch in order, fetched
     from a small thread pool so several tunnel d2h transfers are in flight
@@ -384,13 +446,12 @@ def _drain_fetches(pending):
     8 concurrent without a hang).
     """
     from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
 
     if len(pending) == 1:
         yield jax.device_get(pending[0])
         return
 
-    ex = ThreadPoolExecutor(max_workers=_FETCH_WORKERS)
+    ex = _DaemonFetchPool(max_workers=_FETCH_WORKERS)
     try:
         it = iter(pending)
         futs: deque = deque()
@@ -833,9 +894,7 @@ class _CompiledSamplerBase:
         # flight pipeline the tunnel's per-transfer latency, see
         # _drain_fetches); retires consume in order, so host-side channel
         # sampling and direct prefiltering overlap everything.
-        from concurrent.futures import ThreadPoolExecutor
-
-        fetch_pool = ThreadPoolExecutor(max_workers=_FETCH_WORKERS)
+        fetch_pool = _DaemonFetchPool(max_workers=_FETCH_WORKERS)
         pending: list[tuple] = []
 
         def _retire():

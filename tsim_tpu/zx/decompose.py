@@ -821,16 +821,25 @@ def replace_u3_states(g: ZXGraph, strategy: str = "cat5") -> GraphSum:
 _T_FALLBACK = "pair"
 
 
+_T_FALLBACK_KINDS = ("pair", "bss", "bss-first")
+
+
 def set_t_fallback(kind: str) -> str:
     """Select the last-resort magic-phase split when no planner motif fits.
 
     ``"pair"`` (default) splits the best T pair (chi = 2^(T/2)); ``"bss"``
     applies the exact 6->7 BSS identity when >= 6 eligible magic spiders
-    remain (chi = 7^(T/6) ~= 2^(0.468 T)). BSS wins asymptotically but its
+    remain (chi = 7^(T/6) ~= 2^(0.468 T)); ``"bss-first"`` tries the BSS
+    identity before consulting the planner motifs at all (used in the
+    docs/benchmarks.md knob sweep). BSS wins asymptotically but its
     children merge/prune differently, so the compile pipeline races both on
     components where the planner declined and keeps the smaller
     decomposition. Returns the previous value.
     """
+    if kind not in _T_FALLBACK_KINDS:
+        raise ValueError(
+            f"Unknown t-fallback kind {kind!r}; expected one of {_T_FALLBACK_KINDS}"
+        )
     global _T_FALLBACK
     prev = _T_FALLBACK
     _T_FALLBACK = kind
