@@ -10,9 +10,18 @@ docs/benchmarks.svg panels; BASELINE.md):
 
 ``python bench_suite.py [workload ...]`` runs the named workloads (default:
 all). The headline driver metric stays in bench.py (d3 distillation only).
+
+Artifact discipline: every full run appends its JSON lines to
+``BENCH_SUITE_r{N}.json`` (N from the newest BENCH_r*.json present, or
+``TSIM_TPU_BENCH_ROUND``), so the per-panel numbers cited in
+docs/benchmarks.md have a reproducible capture file next to the driver's
+headline artifact.
 """
 
+import glob
 import json
+import os
+import re
 import sys
 import time
 
@@ -23,30 +32,31 @@ def _log(msg):
 
 def _throughput(sampler, shots, batch, repeats=3, **kw):
     sampler.sample(min(shots, batch), batch_size=batch, **kw)  # warmup/compile
-    best = 0.0
+    runs = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = sampler.sample(shots, batch_size=batch, **kw)
         dt = time.perf_counter() - t0
         n = out[0].shape[0] if isinstance(out, tuple) else out.shape[0]
         assert n == shots
-        best = max(best, shots / dt)
+        runs.append(shots / dt)
         _log(f"  run: {shots / dt:.0f} shots/s")
-    return best
+    runs.sort()
+    return runs[-1], runs[len(runs) // 2]
 
 
 def bench_d3_distillation():
     from tsim_tpu.models.distillation import distillation_d3
 
     s = distillation_d3(p=0.05).compile_detector_sampler(seed=0)
-    return _throughput(s, 16 << 20, 1 << 20), "shots/s"
+    return _throughput(s, 48 << 20, 1 << 20)
 
 
 def bench_d5_distillation():
     from tsim_tpu.models.distillation import distillation_d5
 
     s = distillation_d5(p=0.02).compile_detector_sampler(seed=0)
-    return _throughput(s, 4 << 20, 1 << 19), "shots/s"
+    return _throughput(s, 16 << 20, 1 << 19)
 
 
 def bench_d3_cultivation():
@@ -54,12 +64,7 @@ def bench_d3_cultivation():
 
     _log("cultivation compile (minutes on first run)...")
     s = cultivation_d3(p=0.001).compile_detector_sampler(seed=0)
-    return (
-        _throughput(
-            s, 1 << 18, 1 << 16, use_detector_reference_sample=True
-        ),
-        "shots/s",
-    )
+    return _throughput(s, 1 << 19, 1 << 16, use_detector_reference_sample=True)
 
 
 def bench_d3_cultivation2():
@@ -67,12 +72,7 @@ def bench_d3_cultivation2():
 
     _log("2-check cultivation compile (minutes on first run)...")
     s = cultivation_d3(p=0.001, checks=2).compile_detector_sampler(seed=0)
-    return (
-        _throughput(
-            s, 1 << 16, 1 << 14, use_detector_reference_sample=True
-        ),
-        "shots/s",
-    )
+    return _throughput(s, 1 << 17, 1 << 14, use_detector_reference_sample=True)
 
 
 def bench_d7_surface_code():
@@ -86,7 +86,7 @@ def bench_d7_surface_code():
     s = c.compile_detector_sampler(seed=0)
     # First runs pay this box's pathological first-touch page-fault cost
     # on the multi-GB outputs; steady state reuses freed blocks.
-    return _throughput(s, 4 << 20, 4 << 20, repeats=4), "shots/s"
+    return _throughput(s, 4 << 20, 4 << 20, repeats=4)
 
 
 WORKLOADS = {
@@ -98,6 +98,21 @@ WORKLOADS = {
 }
 
 
+def _artifact_path() -> str:
+    env = os.environ.get("TSIM_TPU_BENCH_ROUND")
+    if env:
+        return f"BENCH_SUITE_r{int(env):02d}.json"
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob("BENCH_r*.json")
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f)))
+    ]
+    # Suite runs capture the round in progress: one past the newest driver
+    # artifact (the driver writes BENCH_r{N} at the END of round N).
+    n = (max(rounds) + 1) if rounds else 1
+    return f"BENCH_SUITE_r{n:02d}.json"
+
+
 def main():
     import jax
 
@@ -105,21 +120,29 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     names = sys.argv[1:] or list(WORKLOADS)
+    backend = jax.default_backend()
+    lines = []
     for name in names:
         _log(f"=== {name} ===")
         t0 = time.perf_counter()
-        value, unit = WORKLOADS[name]()
-        print(
-            json.dumps(
-                {
-                    "metric": name,
-                    "value": round(value, 1),
-                    "unit": unit,
-                    "total_s": round(time.perf_counter() - t0, 1),
-                }
-            ),
-            flush=True,
-        )
+        best, median = WORKLOADS[name]()
+        line = {
+            "metric": name,
+            "value": round(best, 1),
+            "unit": "shots/s",
+            "median": round(median, 1),
+            "backend": backend,
+            "total_s": round(time.perf_counter() - t0, 1),
+        }
+        lines.append(line)
+        print(json.dumps(line), flush=True)
+    if not sys.argv[1:] and backend == "tpu":
+        # Full TPU runs persist the capture next to the driver artifacts.
+        path = _artifact_path()
+        with open(path, "a") as f:
+            for line in lines:
+                f.write(json.dumps(line) + "\n")
+        _log(f"appended {len(lines)} lines to {path}")
 
 
 if __name__ == "__main__":
