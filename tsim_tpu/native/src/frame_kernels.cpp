@@ -178,42 +178,45 @@ extern "C" void tsim_unpack_rows(const uint64_t* in, int64_t rows, int64_t W,
     lut_init = true;
   }
   const int64_t row_blocks = (rows + 63) >> 6;
-  // Tile the shot-word axis so the output region touched by all row
-  // blocks of one tile stays cache-resident: without tiling, each row
-  // block sweeps the entire (shots, out_stride) output (rows/64 full
-  // DRAM passes over a multi-GB array; measured 3-5x slower with wild
-  // run-to-run variance on the d=7 surface-code workload).
-  int64_t w_tile = (8 << 20) / (out_stride << 6);  // ~8MB of output rows
-  if (w_tile < 1) w_tile = 1;
-  uint64_t block[64];
-  for (int64_t wt = 0; wt < W; wt += w_tile) {
-  const int64_t w_end = wt + w_tile < W ? wt + w_tile : W;
-  for (int64_t rb = 0; rb < row_blocks; rb++) {
-    const int64_t r0 = rb << 6;
-    const int64_t nr = rows - r0 < 64 ? rows - r0 : 64;
-    const int64_t nbytes = (nr + 7) >> 3;  // output bytes per shot, block rb
-    for (int64_t w = wt; w < w_end; w++) {
+  // Word-major order: transpose ALL row blocks of one shot-word first,
+  // then emit each shot's full output row contiguously. Every output
+  // cache line is touched exactly once with sequential writes (the
+  // earlier row-block-major order swept the multi-GB output once per row
+  // block, i.e. rows/64 read-allocate passes; measured ~6x more DRAM
+  // traffic and 64 MB/s effective on the d=7 surface-code workload).
+  std::vector<uint64_t> tb((size_t)row_blocks << 6);
+  for (int64_t w = 0; w < W; w++) {
+    for (int64_t rb = 0; rb < row_blocks; rb++) {
+      const int64_t r0 = rb << 6;
+      const int64_t nr = rows - r0 < 64 ? rows - r0 : 64;
+      uint64_t* block = tb.data() + (rb << 6);
       for (int64_t r = 0; r < nr; r++) block[r] = in[(r0 + r) * W + w];
       for (int64_t r = nr; r < 64; r++) block[r] = 0;
       transpose64(block);
-      const int64_t s0 = w << 6;
-      const int64_t ns = shots - s0 < 64 ? shots - s0 : 64;
-      for (int64_t s = 0; s < ns; s++) {
-        uint8_t* dst = out + (s0 + s) * out_stride + r0;
-        uint64_t bits = block[s];
-        int64_t byte = 0;
-        for (; byte + 1 < nbytes; byte++) {
-          uint64_t v = lut[(bits >> (8 * byte)) & 0xff];
-          std::memcpy(dst + 8 * byte, &v, 8);
+    }
+    const int64_t s0 = w << 6;
+    const int64_t ns = shots - s0 < 64 ? shots - s0 : 64;
+    for (int64_t s = 0; s < ns; s++) {
+      uint8_t* dst = out + (s0 + s) * out_stride;
+      for (int64_t rb = 0; rb < row_blocks; rb++) {
+        const int64_t r0 = rb << 6;
+        const int64_t nr = rows - r0 < 64 ? rows - r0 : 64;
+        const uint64_t bits = tb[(rb << 6) + s];
+        const int64_t full = nr >> 3;  // whole 8-byte chunks
+        for (int64_t chunk = 0; chunk < full; chunk++) {
+          uint64_t v = lut[(bits >> (8 * chunk)) & 0xff];
+          std::memcpy(dst + r0 + 8 * chunk, &v, 8);
         }
-        // Last byte of the block may spill past `rows`: write singly.
-        const int64_t rem = nr - 8 * byte;
-        uint64_t v = lut[(bits >> (8 * byte)) & 0xff];
-        for (int64_t j = 0; j < rem; j++)
-          dst[8 * byte + j] = (uint8_t)(v >> (8 * j));
+        // Trailing partial chunk: write singly so a column-slice
+        // destination's neighbours are never clobbered.
+        const int64_t rem = nr - 8 * full;
+        if (rem) {
+          uint64_t v = lut[(bits >> (8 * full)) & 0xff];
+          for (int64_t j = 0; j < rem; j++)
+            dst[r0 + 8 * full + j] = (uint8_t)(v >> (8 * j));
+        }
       }
     }
-  }
   }
 }
 

@@ -765,12 +765,11 @@ class _CompiledSamplerBase:
                 native = self._native_frame_sampler()
                 if native is not None:
                     if self._sample_detectors:
-                        # Joined single-allocation layout + in-place
-                        # baseline XOR: at benchmark shot counts the output
-                        # is multi-GB and every extra pass is seconds.
+                        # Joined single-allocation layout; the absolute
+                        # baseline is already folded into the op stream
+                        # (det_bias), so no extra pass over the multi-GB
+                        # output is needed.
                         samples = native.sample_det_obs_joined(shots)
-                        nd = self._num_detectors
-                        samples[:, :nd] ^= self._native_baseline()
                     else:
                         rec, _, _ = native.sample(
                             shots, include_measurements=True
@@ -990,8 +989,16 @@ class _CompiledSamplerBase:
                 return None
             from .stim_core.native_frame import NativeFrameSampler
 
+            # Detector samplers fold the absolute baseline into the op
+            # stream (det_bias): detector rows come out absolute, avoiding
+            # a full XOR pass over the multi-GB unpacked output.
+            det_bias = (
+                self._native_baseline() if self._sample_detectors else None
+            )
             self._native_frame = NativeFrameSampler(
-                self.circuit.stim_circuit, seed=self._native_frame_seed
+                self.circuit.stim_circuit,
+                seed=self._native_frame_seed,
+                det_bias=det_bias,
             )
         except Exception:
             return None
@@ -1126,14 +1133,10 @@ class CompiledDetectorSampler(_CompiledSamplerBase):
         ):
             native = self._native_frame_sampler()
             if native is not None:
+                # det_bias folded the absolute baseline into the op stream.
                 _, det, obs = native.sample(
                     shots, bit_packed=bit_packed, include_measurements=False
                 )
-                det_ref = self._native_baseline()
-                if bit_packed:
-                    det = det ^ np.packbits(det_ref, bitorder="little")
-                else:
-                    det = det ^ det_ref
                 if separate_observables:
                     return det, obs
                 if append_observables:

@@ -78,7 +78,16 @@ class _OpWriter:
 class NativeFrameSampler:
     """Drop-in counterpart of ``frame.FrameSampler`` backed by C++."""
 
-    def __init__(self, circuit: Circuit, seed: int | None = None):
+    def __init__(
+        self,
+        circuit: Circuit,
+        seed: int | None = None,
+        det_bias: np.ndarray | None = None,
+    ):
+        """``det_bias``: optional (num_detectors,) 0/1 row XORed into every
+        detector output at op-compile time (used by the sampler to convert
+        stim-style flips to absolute detector values without an extra
+        full-array XOR pass over multi-GB outputs)."""
         from ..native.build import load_library
 
         self.circuit = (
@@ -108,6 +117,10 @@ class NativeFrameSampler:
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ]
         self._rng = np.random.default_rng(seed)
+        self._det_bias = (
+            None if det_bias is None else np.asarray(det_bias).astype(np.uint8)
+        )
+        self._buf_pool: dict[tuple, list[np.ndarray]] = {}
         self.ref = reference_sample(self.circuit)
         self.n = max(self.circuit.num_qubits, 1)
         self.num_obs = self.circuit.num_observables
@@ -215,6 +228,8 @@ class NativeFrameSampler:
                 ref_par = 0
                 for j in idxs:
                     ref_par ^= int(ref[j])
+                if self._det_bias is not None and num_det < len(self._det_bias):
+                    ref_par ^= int(self._det_bias[num_det])
                 w.emit(OP_DET, num_det, ref_par, aux=idxs)
                 num_det += 1
                 continue
@@ -290,17 +305,42 @@ class NativeFrameSampler:
             self._unpack(obs, self.num_obs, shots, bit_packed),
         )
 
+    def _out_buffer(self, shots: int, cols: int) -> np.ndarray:
+        """(shots, cols) bool output buffer, recycled across calls.
+
+        First-touch page faults on fresh multi-GB allocations dominate
+        end-to-end Clifford sampling on some hosts (measured 0.15 GB/s
+        faulting vs 2+ GB/s on warm pages for the d=7 workload): keep the
+        last two returned arrays per shape and reuse any the caller no
+        longer references (refcount == pool entry + loop local +
+        getrefcount argument)."""
+        import sys
+
+        pool = self._buf_pool.setdefault((shots, cols), [])
+        for a in pool:
+            if sys.getrefcount(a) <= 3:
+                return a
+        a = np.empty((shots, cols), dtype=np.bool_)
+        pool.append(a)
+        del pool[:-2]
+        return a
+
     def sample_det_obs_joined(self, shots: int) -> np.ndarray:
         """(shots, num_det + num_obs) bool — detectors and observables
         expanded into ONE output array (single allocation + single pass;
         the separate-then-concatenate layout costs two extra passes over
-        multi-GB arrays at benchmark shot counts)."""
-        _, dets, obs = self._run(shots)
+        multi-GB arrays at benchmark shot counts). The returned array may
+        be a recycled buffer: it is only rewritten once the caller drops
+        every reference to it."""
         total = self.num_det + self.num_obs
-        out = np.empty((shots, max(total, 1)), dtype=np.uint8)
-        self._unpack_into(dets, self.num_det, shots, out, 0)
-        self._unpack_into(obs, self.num_obs, shots, out, self.num_det)
-        return out[:, :total].view(np.bool_)
+        if total == 0:
+            return np.empty((shots, 0), dtype=np.bool_)
+        _, dets, obs = self._run(shots)
+        out = self._out_buffer(shots, total)
+        u8 = out.view(np.uint8)
+        self._unpack_into(dets, self.num_det, shots, u8, 0)
+        self._unpack_into(obs, self.num_obs, shots, u8, self.num_det)
+        return out
 
     def _run(self, shots: int):
         W = (shots + 63) >> 6
@@ -343,10 +383,11 @@ class NativeFrameSampler:
         if not bit_packed:
             # Fused C transpose + spread-LUT expansion straight to the
             # (shots, n_rows) boolean layout; np.unpackbits on the packed
-            # rows ran ~10x slower than memory bandwidth.
-            out = np.empty((shots, n_rows), dtype=np.uint8)
-            self._unpack_into(packed, n_rows, shots, out, 0)
-            return out.view(np.bool_)
+            # rows ran ~10x slower than memory bandwidth. The buffer is
+            # recycled (see _out_buffer).
+            out = self._out_buffer(shots, n_rows)
+            self._unpack_into(packed, n_rows, shots, out.view(np.uint8), 0)
+            return out
         stride = (n_rows + 63) >> 6  # words per shot-major row
         out = np.zeros((W * 64, stride), dtype=np.uint64)
         self._lib.tsim_bit_transpose(
