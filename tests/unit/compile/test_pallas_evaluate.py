@@ -116,13 +116,18 @@ def test_small_kernel_mixed_families():
     _check_small(_scalar_csg(build))
 
 
-def test_small_kernel_multi_graph():
+@pytest.mark.parametrize("n_graphs", [9, 17])
+def test_small_kernel_multi_graph(n_graphs):
     """Several graphs with differing term counts through the transposed
-    kernel (exercises masking, the sublane tree sum, and G % 8 != 0)."""
+    kernel (exercises masking, the sublane tree sum, and G % 8 != 0).
+
+    G=9 (Gp=16) and G=17 (Gp=24) are the shapes that require a full-axis
+    graph tile: a gt=8 tile over a padded 16/24 graph axis violates the
+    Mosaic last-dim block rule and fails TPU lowering."""
     from fractions import Fraction
 
     graphs = []
-    for k in range(1, 10):
+    for k in range(1, n_graphs + 1):
         g = ZXGraph()
         for j in range(k % 3 + 1):
             g.scalar.add_node(Fraction(1, 4) * (2 * j + 1), [f"f{j % 2}"])

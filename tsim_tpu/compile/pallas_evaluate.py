@@ -873,7 +873,13 @@ def evaluate_abs_fused_small(circuit: CompiledScalarGraphs, param_vals: Array) -
 
     blocks, dims = _prepared_small(circuit, P)
     T1, T2, T3, T4, Gp = dims
-    n_gt = Gp // gt
+    # One graph tile covering all of Gp (<= 24): Mosaic requires the last
+    # block dim to be 128-divisible OR equal to the array dim, so a gt=8
+    # tile over a Gp=16/24 axis fails lowering. Gp is sublane-aligned
+    # (multiple of 8) and small, so a full-axis tile is both legal and
+    # cheap; the grid then runs over the batch axis only.
+    gt = Gp
+    n_gt = 1
     kdims = (T1, T2, T3, T4, gt)
 
     T_of = {1: T1, 2: T2, 3: T3, 4: T4}
