@@ -221,3 +221,178 @@ class TestConstantDirectDetectors:
             del os.environ["TSIM_TPU_NATIVE_DIRECT"]
         assert native[:, 0].all()
         assert abs(host[:, 1].mean() - native[:, 1].mean()) < 0.02
+
+
+# ---------------------------------------------------------- batch discipline
+# The quantum path dispatches through one jit per (program, batch_size):
+# every batch must share one shape (no retraces), the batch count must be
+# exactly ceil(shots / batch_size), and the reference sample must not
+# perturb batching (it rides a separate hoisted 1-row runner).
+
+QUANTUM_TEXT = "H 0\nT 0\nX_ERROR(0.15) 0\nH 0\nM 0\nDETECTOR rec[-1]"
+
+
+def _spy_run_fn(monkeypatch):
+    """Record (num_batches, batch_size) of every _device_run_fn build and
+    the per-call dispatch count."""
+    import tsim_tpu.sampler as sampler_mod
+
+    seen = {"builds": [], "calls": 0}
+    orig = sampler_mod._device_run_fn
+
+    def spy(program, device_channels, num_batches, batch_size, mesh=None):
+        seen["builds"].append((num_batches, batch_size))
+        fn = orig(program, device_channels, num_batches, batch_size, mesh=mesh)
+
+        def wrapped(base_key, bi):
+            seen["calls"] += 1
+            return fn(base_key, bi)
+
+        return wrapped
+
+    monkeypatch.setattr(sampler_mod, "_device_run_fn", spy)
+    return seen
+
+
+def _quantum_sampler(seed=0):
+    import tsim_tpu
+
+    return tsim_tpu.Circuit(QUANTUM_TEXT).compile_detector_sampler(seed=seed)
+
+
+def test_auto_batch_uniform(monkeypatch):
+    s = _quantum_sampler()
+    monkeypatch.setattr(type(s), "_estimate_batch_size", lambda self: 30)
+    seen = _spy_run_fn(monkeypatch)
+    out = s.sample(100)
+    assert out.shape == (100, 1)
+    assert seen["builds"] == [(4, 25)]
+    assert seen["calls"] == 4
+
+
+def test_auto_batch_non_divisible(monkeypatch):
+    s = _quantum_sampler()
+    monkeypatch.setattr(type(s), "_estimate_batch_size", lambda self: 30)
+    seen = _spy_run_fn(monkeypatch)
+    out = s.sample(101)
+    assert out.shape == (101, 1)
+    assert seen["builds"] == [(4, 26)]
+    assert seen["calls"] == 4
+
+
+def test_auto_batch_single_when_estimate_large(monkeypatch):
+    s = _quantum_sampler()
+    monkeypatch.setattr(type(s), "_estimate_batch_size", lambda self: 10**6)
+    seen = _spy_run_fn(monkeypatch)
+    out = s.sample(100)
+    assert out.shape == (100, 1)
+    assert seen["builds"] == [(1, 100)]
+    assert seen["calls"] == 1
+
+
+def test_explicit_batch_exact_count(monkeypatch):
+    s = _quantum_sampler()
+    seen = _spy_run_fn(monkeypatch)
+    out = s.sample(100, batch_size=50)
+    assert out.shape == (100, 1)
+    assert seen["builds"] == [(2, 50)]
+    assert seen["calls"] == 2
+
+
+def test_explicit_batch_partial_final_keeps_shape(monkeypatch):
+    s = _quantum_sampler()
+    seen = _spy_run_fn(monkeypatch)
+    out = s.sample(101, batch_size=50)
+    assert out.shape == (101, 1)
+    # Three dispatches, all at the compiled batch shape of 50; the final
+    # batch's surplus rows are trimmed host-side after unpacking.
+    assert seen["builds"] == [(3, 50)]
+    assert seen["calls"] == 3
+
+
+def test_reference_sample_does_not_change_batching(monkeypatch):
+    a = _quantum_sampler(seed=4)
+    seen_a = _spy_run_fn(monkeypatch)
+    a.sample(100, batch_size=50)
+    plain = (list(seen_a["builds"]), seen_a["calls"])
+    monkeypatch.undo()
+
+    b = _quantum_sampler(seed=4)
+    seen_b = _spy_run_fn(monkeypatch)
+    b.sample(100, batch_size=50, use_detector_reference_sample=True)
+    assert (list(seen_b["builds"]), seen_b["calls"]) == plain
+
+
+# ----------------------------------------------------------- empty shapes
+def test_zero_shots_with_reference(bell_sampler):
+    out = bell_sampler.sample(
+        0, append_observables=True, use_detector_reference_sample=True
+    )
+    assert out.shape == (0, 2)
+
+
+def test_measurement_sampler_no_measurements():
+    import tsim_tpu
+
+    out = tsim_tpu.Circuit("H 0").compile_sampler().sample(5)
+    assert out.dtype == np.bool_ and out.shape == (5, 0)
+
+
+def test_detector_sampler_no_detectors():
+    import tsim_tpu
+
+    s = tsim_tpu.Circuit("H 0\nM 0").compile_detector_sampler()
+    out = s.sample(5)
+    assert out.dtype == np.bool_ and out.shape == (5, 0)
+    det, obs = s.sample(5, separate_observables=True)
+    assert det.shape == (5, 0) and obs.shape == (5, 0)
+
+
+def test_detector_sampler_no_detectors_bit_packed_and_reference():
+    import tsim_tpu
+
+    s = tsim_tpu.Circuit("H 0\nM 0").compile_detector_sampler()
+    packed = s.sample(5, bit_packed=True)
+    assert packed.dtype == np.uint8 and packed.shape == (5, 0)
+    ref = s.sample(5, use_detector_reference_sample=True)
+    assert ref.shape == (5, 0)
+
+
+# ------------------------------------------------------ annotation columns
+def test_empty_annotations_are_deterministic_zero():
+    import tsim_tpu
+
+    c = tsim_tpu.Circuit(
+        "X 0\nM 0 1\nDETECTOR rec[-2]\nDETECTOR\n"
+        "OBSERVABLE_INCLUDE(0) rec[-1]\nOBSERVABLE_INCLUDE(1)"
+    )
+    assert c.num_detectors == 2 and c.num_observables == 2
+    det, obs = c.compile_detector_sampler(seed=0).sample(
+        4, separate_observables=True
+    )
+    assert det[:, 0].all() and not det[:, 1].any() and not obs.any()
+
+
+def test_sparse_observable_index_pads_columns():
+    import tsim_tpu
+
+    c = tsim_tpu.Circuit("X 0\nM 0\nOBSERVABLE_INCLUDE(2) rec[-1]")
+    assert c.num_observables == 3
+    out = c.compile_detector_sampler(seed=0).sample(4, append_observables=True)
+    assert out.shape == (4, 3)
+    assert not out[:, :2].any() and out[:, 2].all()
+
+
+def test_out_of_order_observable_indices_sort():
+    import tsim_tpu
+
+    c = tsim_tpu.Circuit(
+        "X 0\nM 0 1\nOBSERVABLE_INCLUDE(2) rec[-2]\n"
+        "OBSERVABLE_INCLUDE(0) rec[-1]"
+    )
+    assert c.num_observables == 3
+    _, obs = c.compile_detector_sampler(seed=0).sample(
+        2, separate_observables=True
+    )
+    assert obs.shape == (2, 3)
+    assert not obs[:, 0].any() and not obs[:, 1].any() and obs[:, 2].all()
