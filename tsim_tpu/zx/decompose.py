@@ -929,7 +929,7 @@ def _reduce_gf2(basis: dict, vec: frozenset):
 
 
 def plan_projector_cover(
-    g: ZXGraph, gadgets, restarts: int = 48
+    g: ZXGraph, gadgets, restarts: int = 512
 ) -> list[tuple]:
     """Greedy min-rank perfect matching over projector-splittable pairs.
 
@@ -974,10 +974,19 @@ def plan_projector_cover(
     # coordinates, which that filter needs.
     orig_vec = {(i, j): vec for (i, j, vec) in raw}
     # Small graphs need few restarts to hit the rank plateau; the full
-    # budget only pays off on the big plugged ladder steps.
-    restarts = min(restarts, max(8, 2 * n))
+    # budget only pays off on the big plugged ladder steps. Early-stop once
+    # the best score has not improved for a while: on the 2-check
+    # cultivation ladder rank 10 (1024 terms) only appears past ~50
+    # restarts, while rank plateaus within ~64 non-improving seeds
+    # (measured in dev/cult2_rung_probe.py; each restart is O(pairs^2)
+    # pivot scans, ~10ms at 42 gadgets).
+    restarts = min(restarts, max(16, 6 * n))
+    stale_limit = 64
+    stale = 0
     best = None
     for seed in range(restarts):
+        if stale >= stale_limit:
+            break
         order = list(allowed)
         random.Random(seed).shuffle(order)
         unmatched = set(range(n))
@@ -1006,6 +1015,9 @@ def plan_projector_cover(
         score = (rank, n - 2 * len(chosen))
         if best is None or score < best[0]:
             best = (score, chosen)
+            stale = 0
+        else:
+            stale += 1
     chosen = best[1]
     # Drop pairs whose D references another chosen pair's removed vertices.
     lh = set()
@@ -1058,7 +1070,7 @@ def _consistent_assignments(vectors: list[frozenset], max_rank: int):
 
 
 def planned_magic_decomposition(
-    g: ZXGraph, max_rank: int = 14, restarts: int = 48
+    g: ZXGraph, max_rank: int = 14, restarts: int = 512
 ) -> list[ZXGraph] | None:
     """One planned joint-split pass; returns reduced nonzero leaves or None.
 
