@@ -18,6 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .compile.pallas_evaluate import evaluate_abs_auto as evaluate_abs
+from .compile.pallas_sample import (
+    evaluate_abs_sample,
+    norm_deviation_tolerance,
+)
 from .compile.pipeline import compile_program
 from .core.graph_prep import prepare_graph
 from .core.types import CompiledComponent, CompiledProgram
@@ -47,7 +51,7 @@ def _sample_component(
         jnp.uint8
     )
 
-    mass = evaluate_abs(ladder[0], noise_bits)
+    mass = evaluate_abs_sample(ladder[0], noise_bits)
     drawn = jnp.zeros((shots, len(ladder) - 1), dtype=jnp.uint8)
     worst = jnp.array(0.0)
     pad_one = jnp.ones((shots, 1), dtype=jnp.uint8)
@@ -62,7 +66,7 @@ def _sample_component(
                 jnp.hstack([noise_bits[:1], drawn[:1, :k], 1 - pad_one[:1]]),
             ]
         )
-        magnitudes = evaluate_abs(rung, stacked)
+        magnitudes = evaluate_abs_sample(rung, stacked)
         p_one, probe = magnitudes[:shots], magnitudes[-1]
         worst = jnp.maximum(worst, jnp.abs((probe + p_one[0]) / mass[0] - 1.0))
 
@@ -480,7 +484,7 @@ def _check_norm_deviation(max_dev) -> None:
             "(normalization 0). This is likely the result of an underflow "
             "error."
         )
-    if val > 1e-5:
+    if val > norm_deviation_tolerance():
         warnings.warn(
             "A marginal probability was not normalized correctly "
             f"(normalization deviated from 1 by {val:.1e}). "
