@@ -6,6 +6,8 @@ docs/benchmarks.svg panels; BASELINE.md):
   1. d=3 15-to-1 distillation (35 qubits)   - detector shots/s
   2. d=5 distillation (85 qubits)           - detector shots/s
   3. d=3 magic-state cultivation            - detector shots/s
+     (proxy 1-check / 2-check ladders plus the full-protocol
+     cat-check + grow-to-d5 circuit, ``d3_cultivation_full``)
   4. d=7 rotated surface code (Clifford)    - detector shots/s
 
 ``python bench_suite.py [workload ...]`` runs the named workloads (default:
@@ -75,6 +77,18 @@ def bench_d3_cultivation2():
     return _throughput(s, 1 << 17, 1 << 14, use_detector_reference_sample=True)
 
 
+def bench_d3_cultivation_full():
+    from tsim_tpu.models.cultivation import cultivation_d3_grown
+
+    _log("full-protocol cultivation compile (minutes on first run)...")
+    s = cultivation_d3_grown(p=0.001, checks=2).compile_detector_sampler(
+        seed=0
+    )
+    return _throughput(
+        s, 1 << 19, 1 << 16, use_detector_reference_sample=True
+    )
+
+
 def bench_d7_surface_code():
     from tsim_tpu.models.surface_code import rotated_surface_code_memory_z
 
@@ -94,6 +108,7 @@ WORKLOADS = {
     "d5_distillation": bench_d5_distillation,
     "d3_cultivation": bench_d3_cultivation,
     "d3_cultivation2": bench_d3_cultivation2,
+    "d3_cultivation_full": bench_d3_cultivation_full,
     "d7_surface_code": bench_d7_surface_code,
 }
 

@@ -32,6 +32,15 @@ DecompositionStrategy = Literal["cat5", "bss", "cutting"]
 # compile well under this, so they never pay the extra variants.
 _BSS_RETRY_THRESHOLD = 512
 
+# Absolute per-variant term cap while a better variant may still exist.
+# Without it the FIRST variant runs unbounded (max_terms=None), so one
+# planner-declined heavy rung can hit the raw 2^(T/2) pair recursion and
+# burn hours/EBs before a later variant would have found a small cover
+# (seen on the full-protocol cultivation ladder: tcount ~54 rungs stuck
+# >15 min at 8 GB). Variants aborting on this cap are retried unbounded
+# only if EVERY variant aborted, preserving completeness.
+_ABS_MAX_TERMS = 8192
+
 
 def compile_program(
     prepared: SamplingGraph,
@@ -124,6 +133,10 @@ def _compile_component(
 
     compiled_graphs: list[CompiledScalarGraphs] = []
     power2_base: int | None = None
+    # Variant order carries across rungs: neighboring rungs of a ladder
+    # decompose alike, so the previous rung's winner runs first and seeds a
+    # tight budget that makes this rung's losing variants abort cheaply.
+    variant_order = [(True, True), (False, True), (True, False), (False, False)]
 
     from ..zx.simplify import set_shake
 
@@ -138,57 +151,79 @@ def _compile_component(
 
         best_list = None
         best_base = None
-        variants = [
-            (shake, pi_hub, "pair")
-            for shake, pi_hub in ((True, True), (False, True), (True, False), (False, False))
+        best_variant = None
+        pair_variants = [(shake, pi_hub, "pair") for shake, pi_hub in variant_order]
+        bss_variants = [(s, p, "bss") for s, p, _ in pair_variants]
+        # Iterative-deepening race. Caps escalate only while no variant has
+        # landed, so planner-covered variants win in seconds while a
+        # planner-declined heavy rung's exponential 2^(T/2) pair recursion
+        # aborts early instead of running unbounded (the abort fires at a
+        # working set of 4x the cap; a set that large costs that many ZX
+        # reductions, so small caps keep losing variants cheap). The BSS
+        # 6->7 rounds (7^(T/6)) run when the pair round's best is still
+        # above _BSS_RETRY_THRESHOLD — budget aborts correlate with exactly
+        # the large planner-declined components the retry targets, so they
+        # also run when the pair round found nothing at all. The final
+        # unbounded round makes pathological rungs compile (slowly) rather
+        # than fail.
+        rounds = [
+            ("first", pair_variants, _BSS_RETRY_THRESHOLD),
+            ("bss", bss_variants, _BSS_RETRY_THRESHOLD),
+            ("escalate", pair_variants, _ABS_MAX_TERMS),
+            ("bss-escalate", bss_variants, _ABS_MAX_TERMS),
+            ("uncapped", pair_variants[:1], None),
         ]
-        queue = list(variants)
-        while queue:
-            shake, pi_hub, fallback = queue.pop(0)
-            prev = set_shake(shake)
-            prev_ph = set_pi_hub_normalize(pi_hub)
-            prev_fb = set_t_fallback(fallback)
-            g_list = None
-            try:
-                g_copy = plugged.copy()
-                full_reduce(g_copy, paramSafe=True)
-                g_copy.normalize()
-                base = power2_base if power2_base is not None else g_copy.scalar.power2
-                g_copy.scalar.add_power(-base)
-                _remove_phase_terms(g_copy)
-                # Budget: a variant that exceeds 4x the best-so-far term
-                # count aborts instead of finishing a losing decomposition.
-                g_list = find_stab(
-                    g_copy,
-                    strategy=strategy,
-                    max_terms=None if best_list is None else len(best_list),
-                )
-            except DecompositionBudgetExceeded:
-                # A losing variant aborted; fall through so the BSS
-                # re-queue check below still runs even when the LAST pair
-                # variant is the one that aborted (budget aborts correlate
-                # with exactly the large components the retry targets).
-                pass
-            finally:
-                set_shake(prev)
-                set_pi_hub_normalize(prev_ph)
-                set_t_fallback(prev_fb)
-            if g_list is not None and (best_list is None or len(g_list) < len(best_list)):
-                best_list = g_list
-                best_base = base
-            # A big best after the pair-fallback round means the planner
-            # declined and the component hit the 2^(T/2) pair recursion:
-            # race the same variants with the BSS 6->7 fallback
-            # (7^(T/6)), budget-capped by the pair result.
-            if (
-                not queue
-                and fallback == "pair"
-                and strategy == "cat5"
-                and best_list is not None
-                and len(best_list) > _BSS_RETRY_THRESHOLD
-            ):
-                queue = [(s, p, "bss") for s, p, _ in variants]
+        for kind, round_variants, cap in rounds:
+            if kind == "bss":
+                # The cheap BSS race: runs whenever the pair round's best is
+                # large (or absent) — budget aborts correlate with exactly
+                # the planner-declined components the retry targets.
+                if strategy != "cat5":
+                    continue
+                if best_list is not None and len(best_list) <= _BSS_RETRY_THRESHOLD:
+                    continue
+            elif kind != "first" and best_list is not None:
+                # Escalation rounds (incl. BSS) only rescue all-abort rungs:
+                # re-racing BSS against an in-budget pair best costs ~4x200s
+                # of guaranteed aborts per heavy rung and has never won
+                # (docs/benchmarks.md: pair == bss-first trajectories).
+                continue
+            for shake, pi_hub, fallback in round_variants:
+                budget = cap
+                if best_list is not None:
+                    budget = (
+                        len(best_list)
+                        if budget is None
+                        else min(budget, len(best_list))
+                    )
+                prev = set_shake(shake)
+                prev_ph = set_pi_hub_normalize(pi_hub)
+                prev_fb = set_t_fallback(fallback)
+                g_list = None
+                try:
+                    g_copy = plugged.copy()
+                    full_reduce(g_copy, paramSafe=True)
+                    g_copy.normalize()
+                    base = power2_base if power2_base is not None else g_copy.scalar.power2
+                    g_copy.scalar.add_power(-base)
+                    _remove_phase_terms(g_copy)
+                    g_list = find_stab(g_copy, strategy=strategy, max_terms=budget)
+                except DecompositionBudgetExceeded:
+                    pass
+                finally:
+                    set_shake(prev)
+                    set_pi_hub_normalize(prev_ph)
+                    set_t_fallback(prev_fb)
+                if g_list is not None and (
+                    best_list is None or len(g_list) < len(best_list)
+                ):
+                    best_list = g_list
+                    best_base = base
+                    best_variant = (shake, pi_hub)
         assert best_list is not None
+        if best_variant is not None and variant_order[0] != best_variant:
+            variant_order.remove(best_variant)
+            variant_order.insert(0, best_variant)
         if power2_base is None:
             power2_base = best_base
         if len(best_list) == 1:

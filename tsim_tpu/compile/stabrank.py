@@ -58,6 +58,12 @@ def _decompose(
 ) -> list[ZXGraph]:
     results: list[ZXGraph] = []
     level: list[ZXGraph] = list(graphs)
+    # Cumulative-work budget alongside the set-size budget: zero-branch
+    # pruning can hold the working set small while the recursion visits
+    # (and fully reduces) exponentially many children — a losing variant
+    # then burns minutes under a set-size cap alone. 32x is permissive
+    # for winners (pruned trees visit a few x their final term count).
+    visits = 0
     while level:
         _check_budget(len(level) + len(results), max_terms)
         nxt: list[ZXGraph] = []
@@ -67,6 +73,9 @@ def _decompose(
                 continue
             gsum = replace_fn(graph.copy())
             for g in gsum.graphs:
+                visits += 1
+                if max_terms is not None and visits > 32 * max_terms:
+                    raise DecompositionBudgetExceeded(visits)
                 full_reduce(g, paramSafe=True)
                 if g.scalar.is_zero:
                     continue
