@@ -399,6 +399,14 @@ def _run_sample_bucket(tables, dims, x, Bp, P):
         )(x, *inputs)
         return out[0].T  # (Bp, 2)
     bt_wide = _sample_bt()
+    # The bucketer sizes _GT for the EXACT kernel's (smaller) batch tile;
+    # this kernel's live (bt, Gt) f32 intermediates must fit VMEM too.
+    # Low-parity-count circuits get wide graph tiles (gt_fit ~ 1/t_par),
+    # so shrink the batch tile until bt * Gt is safe (~a dozen live f32
+    # planes + Mosaic double buffering inside the 16 MiB scoped limit).
+    # Bp is a multiple of _sample_bt(), so every halving still divides it.
+    while bt_wide > 128 and bt_wide * _GT > (1 << 17):
+        bt_wide //= 2
     n_bt, n_gt = Bp // bt_wide, Gp // _GT
     x_spec = pl.BlockSpec((bt_wide, P), lambda j, i: (i, 0))
     pre_spec = pl.BlockSpec((2, _GT), lambda j, i: (0, j))

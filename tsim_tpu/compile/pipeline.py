@@ -37,9 +37,23 @@ _BSS_RETRY_THRESHOLD = 512
 # planner-declined heavy rung can hit the raw 2^(T/2) pair recursion and
 # burn hours/EBs before a later variant would have found a small cover
 # (seen on the full-protocol cultivation ladder: tcount ~54 rungs stuck
-# >15 min at 8 GB). Variants aborting on this cap are retried unbounded
-# only if EVERY variant aborted, preserving completeness.
+# >15 min at 8 GB). If EVERY variant aborts on this cap, the leading
+# variant alone is retried unbounded, preserving completeness.
 _ABS_MAX_TERMS = 8192
+
+# Heavy-regime threshold for race thinning: once a rung's winning count
+# reaches this, re-racing every variant on every subsequent rung costs more
+# than it saves (losing variants burn their full abort budget), so the race
+# thins to the streak leader with a periodic full re-race.
+_THIN_THRESHOLD = 256
+_THIN_RERACE_EVERY = 4
+
+_COMPILE_DEBUG = __import__("os").environ.get("TSIM_TPU_COMPILE_DEBUG", "") == "1"
+
+
+def _debug(msg: str) -> None:
+    if _COMPILE_DEBUG:
+        print(f"[tsim-tpu compile] {msg}", flush=True)
 
 
 def compile_program(
@@ -136,24 +150,66 @@ def _compile_component(
     # Variant order carries across rungs: neighboring rungs of a ladder
     # decompose alike, so the previous rung's winner runs first and seeds a
     # tight budget that makes this rung's losing variants abort cheaply.
-    variant_order = [(True, True), (False, True), (True, False), (False, False)]
+    # Variants are (shake, pi_hub, drop_penalty): the planner's drop
+    # penalty (see zx.decompose._PLAN_DROP_PENALTY) joins the race only on
+    # heavy rungs, where the all-kept/low-rank matching trade-off actually
+    # bites (light circuits never pay for the extra variant).
+    variant_order = [
+        (True, True, 1.0),
+        (False, True, 1.0),
+        (True, False, 1.0),
+        (False, False, 1.0),
+    ]
 
     from ..zx.simplify import set_shake
+
+    # Race thinning (heavy ladders): when the leading variant has won
+    # consecutive rungs and counts are in the heavy regime, run only the
+    # leader and re-race the full field every few rungs. On the grown-
+    # cultivation ladder a full race per heavy rung costs 4-8 losing
+    # variants x their abort budget, for a winner the leader predicts
+    # almost every time.
+    leader_streak = 0
+    rungs_since_race = 0
+    prev_count: int | None = None
 
     for num_m_plugged, plugged in zip(outputs_to_plug, plugged_graphs):
         param_names = [f"f{i}" for i in f_selected_values]
         param_names += [f"m{output_indices[j]}" for j in range(num_m_plugged)]
+        reduced_cache: dict = {}
 
         # The shake pass and pi-hub normalization are heuristics that
         # shrink some decompositions and grow others: compile the variants,
         # keep the smallest term count.
-        from ..zx.decompose import set_pi_hub_normalize, set_t_fallback
+        from ..zx.decompose import (
+            set_pi_hub_normalize,
+            set_plan_drop_penalty,
+            set_t_fallback,
+        )
 
         best_list = None
         best_base = None
         best_variant = None
-        pair_variants = [(shake, pi_hub, "pair") for shake, pi_hub in variant_order]
-        bss_variants = [(s, p, "bss") for s, p, _ in pair_variants]
+        heavy = prev_count is not None and prev_count >= _THIN_THRESHOLD
+        thin = (
+            leader_streak >= 2
+            and heavy
+            and rungs_since_race < _THIN_RERACE_EVERY
+        )
+        race_order = list(variant_order)
+        if heavy and not thin:
+            # Race the leader under the alternate drop penalty too: on
+            # heavy rungs a low-rank matching with filter-dropped pairs
+            # can recurse to far fewer terms than the all-kept higher-rank
+            # plan (and vice versa) — measured both ways on the grown-
+            # cultivation ladder.
+            s0, p0, w0 = race_order[0]
+            alt = (s0, p0, 0.375 if w0 == 1.0 else 1.0)
+            if alt not in race_order:
+                race_order.append(alt)
+        pair_variants = [(s, p, w, "pair") for s, p, w in race_order]
+        bss_variants = [(s, p, w, "bss") for s, p, w, _ in pair_variants]
+        first_variants = pair_variants[:1] if thin else pair_variants
         # Iterative-deepening race. Caps escalate only while no variant has
         # landed, so planner-covered variants win in seconds while a
         # planner-declined heavy rung's exponential 2^(T/2) pair recursion
@@ -161,16 +217,31 @@ def _compile_component(
         # working set of 4x the cap; a set that large costs that many ZX
         # reductions, so small caps keep losing variants cheap). The BSS
         # 6->7 rounds (7^(T/6)) run when the pair round's best is still
-        # above _BSS_RETRY_THRESHOLD — budget aborts correlate with exactly
-        # the large planner-declined components the retry targets, so they
-        # also run when the pair round found nothing at all. The final
-        # unbounded round makes pathological rungs compile (slowly) rather
+        # above _BSS_RETRY_THRESHOLD (capped then by the pair best itself,
+        # so a genuinely smaller BSS decomposition can land) — budget
+        # aborts correlate with exactly the large planner-declined
+        # components the retry targets, so they also run when the pair
+        # round found nothing at all. The final round retries the leading
+        # variant unbounded, so pathological rungs compile (slowly) rather
         # than fail.
+        # Neighboring rungs decompose alike: ramp the first-round cap with
+        # the previous rung's count so a heavy rung lands in one pass
+        # instead of abort-all-at-512 followed by a full 8192 re-race.
+        first_cap = _BSS_RETRY_THRESHOLD
+        if prev_count is not None:
+            first_cap = max(first_cap, min(2 * prev_count, _ABS_MAX_TERMS))
+        # Thinning must extend to the escalation rounds, else a thin rung
+        # whose leader aborts the first round re-races the full field.
+        esc_variants = first_variants if thin else pair_variants
         rounds = [
-            ("first", pair_variants, _BSS_RETRY_THRESHOLD),
+            ("first", first_variants, first_cap),
             ("bss", bss_variants, _BSS_RETRY_THRESHOLD),
-            ("escalate", pair_variants, _ABS_MAX_TERMS),
-            ("bss-escalate", bss_variants, _ABS_MAX_TERMS),
+            ("escalate", esc_variants, _ABS_MAX_TERMS),
+            (
+                "bss-escalate",
+                [(s, p, w, "bss") for s, p, w, _ in esc_variants],
+                _ABS_MAX_TERMS,
+            ),
             ("uncapped", pair_variants[:1], None),
         ]
         for kind, round_variants, cap in rounds:
@@ -180,17 +251,29 @@ def _compile_component(
                 # the planner-declined components the retry targets.
                 if strategy != "cat5":
                     continue
+                if thin:
+                    continue
                 if best_list is not None and len(best_list) <= _BSS_RETRY_THRESHOLD:
                     continue
-            elif kind != "first" and best_list is not None:
-                # Escalation rounds (incl. BSS) only rescue all-abort rungs:
-                # re-racing BSS against an in-budget pair best costs ~4x200s
-                # of guaranteed aborts per heavy rung and has never won
-                # (docs/benchmarks.md: pair == bss-first trajectories).
-                continue
-            for shake, pi_hub, fallback in round_variants:
-                budget = cap
                 if best_list is not None:
+                    # Race against the landed pair best, not the static
+                    # threshold: a BSS decomposition genuinely smaller than
+                    # a large pair best must be allowed to land.
+                    cap = len(best_list)
+            elif kind != "first" and best_list is not None:
+                # Escalation rounds only rescue all-abort rungs: re-racing
+                # against an in-budget best costs guaranteed aborts per
+                # heavy rung and has never won (docs/benchmarks.md: pair ==
+                # bss-first trajectories).
+                continue
+            elif kind == "bss-escalate" and strategy != "cat5":
+                # Non-cat5 strategies have no BSS fallback to escalate to
+                # (replace_magic_states honors the strategy directly).
+                continue
+            for shake, pi_hub, drop_pen, fallback in round_variants:
+                budget = cap
+                tight = best_list is not None
+                if tight:
                     budget = (
                         len(best_list)
                         if budget is None
@@ -199,31 +282,60 @@ def _compile_component(
                 prev = set_shake(shake)
                 prev_ph = set_pi_hub_normalize(pi_hub)
                 prev_fb = set_t_fallback(fallback)
+                prev_dp = set_plan_drop_penalty(drop_pen)
                 g_list = None
                 try:
-                    g_copy = plugged.copy()
-                    full_reduce(g_copy, paramSafe=True)
-                    g_copy.normalize()
-                    base = power2_base if power2_base is not None else g_copy.scalar.power2
-                    g_copy.scalar.add_power(-base)
-                    _remove_phase_terms(g_copy)
-                    g_list = find_stab(g_copy, strategy=strategy, max_terms=budget)
+                    # The pre-decomposition reduction depends only on the
+                    # shake flag: share it across the pi_hub/penalty/
+                    # fallback variants of this rung.
+                    cached = reduced_cache.get(shake)
+                    if cached is None:
+                        g_red = plugged.copy()
+                        full_reduce(g_red, paramSafe=True)
+                        g_red.normalize()
+                        base = (
+                            power2_base
+                            if power2_base is not None
+                            else g_red.scalar.power2
+                        )
+                        g_red.scalar.add_power(-base)
+                        _remove_phase_terms(g_red)
+                        reduced_cache[shake] = (g_red, base)
+                        cached = (g_red, base)
+                    g_copy, base = cached[0].copy(), cached[1]
+                    g_list = find_stab(
+                        g_copy, strategy=strategy, max_terms=budget, tight=tight
+                    )
                 except DecompositionBudgetExceeded:
-                    pass
+                    if tight:
+                        _debug(
+                            f"variant shake={shake} pi_hub={pi_hub}"
+                            f" pen={drop_pen} kind={kind}"
+                            f" aborted against best={len(best_list)}"
+                        )
                 finally:
                     set_shake(prev)
                     set_pi_hub_normalize(prev_ph)
                     set_t_fallback(prev_fb)
+                    set_plan_drop_penalty(prev_dp)
                 if g_list is not None and (
                     best_list is None or len(g_list) < len(best_list)
                 ):
                     best_list = g_list
                     best_base = base
-                    best_variant = (shake, pi_hub)
+                    best_variant = (shake, pi_hub, drop_pen)
         assert best_list is not None
+        if best_variant == variant_order[0]:
+            leader_streak += 1
+        else:
+            leader_streak = 0
+        rungs_since_race = rungs_since_race + 1 if thin else 0
         if best_variant is not None and variant_order[0] != best_variant:
-            variant_order.remove(best_variant)
+            if best_variant in variant_order:
+                variant_order.remove(best_variant)
             variant_order.insert(0, best_variant)
+            del variant_order[6:]
+        prev_count = len(best_list)
         if power2_base is None:
             power2_base = best_base
         if len(best_list) == 1:

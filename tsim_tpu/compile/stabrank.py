@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Iterable, Sequence
 
 from ..zx.decompose import (
+    DecompositionBudgetExceeded,
     planned_magic_decomposition,
     replace_magic_states,
     replace_u3_states,
@@ -41,12 +42,6 @@ def _graph_state_key(g: ZXGraph):
     return (verts, adj, _scalar_signature(g))
 
 
-class DecompositionBudgetExceeded(Exception):
-    """Raised when a decomposition variant exceeds the caller's term budget
-    (used by the compile pipeline to abort losing heuristic variants
-    early)."""
-
-
 def _check_budget(n: int, max_terms: int | None) -> None:
     # 4x headroom: intermediate levels shrink through merging/zero pruning.
     if max_terms is not None and n > 4 * max_terms:
@@ -54,15 +49,28 @@ def _check_budget(n: int, max_terms: int | None) -> None:
 
 
 def _decompose(
-    graphs: Sequence[ZXGraph], count_fn, replace_fn, max_terms: int | None = None
+    graphs: Sequence[ZXGraph],
+    count_fn,
+    replace_fn,
+    max_terms: int | None = None,
+    tight: bool = False,
 ) -> list[ZXGraph]:
     results: list[ZXGraph] = []
     level: list[ZXGraph] = list(graphs)
     # Cumulative-work budget alongside the set-size budget: zero-branch
     # pruning can hold the working set small while the recursion visits
     # (and fully reduces) exponentially many children — a losing variant
-    # then burns minutes under a set-size cap alone. 32x is permissive
-    # for winners (pruned trees visit a few x their final term count).
+    # then burns minutes under a set-size cap alone. Each visit is charged
+    # by the child's residual magic count (1 + count): reducing a child
+    # costs time proportional to its size, and its count bounds the
+    # subtree still owed, so a hopeless wide recursion (top-level children
+    # at count ~55 on the grown-cultivation rungs) exhausts the budget
+    # after a few hundred reductions while a genuine winner's tree —
+    # visits dominated by near-leaf children at count 0-4 — stays cheap
+    # well past its final term count. 32x is permissive for winners;
+    # ``tight`` (racing against an already-landed variant) drops to 8x,
+    # still generous for a strictly-better challenger.
+    visit_factor = 8 if tight else 32
     visits = 0
     while level:
         _check_budget(len(level) + len(results), max_terms)
@@ -74,38 +82,48 @@ def _decompose(
             gsum = replace_fn(graph.copy())
             for g in gsum.graphs:
                 visits += 1
-                if max_terms is not None and visits > 32 * max_terms:
+                if max_terms is not None and visits > visit_factor * max_terms:
                     raise DecompositionBudgetExceeded(visits)
                 full_reduce(g, paramSafe=True)
                 if g.scalar.is_zero:
                     continue
+                visits += count_fn(g)
                 nxt.append(g)
         level = merge_equal_states(nxt) if len(nxt) > 1 else nxt
     return results
 
 
 def find_stab_magic(
-    graphs: Iterable[ZXGraph], strategy: str, max_terms: int | None = None
+    graphs: Iterable[ZXGraph],
+    strategy: str,
+    max_terms: int | None = None,
+    tight: bool = False,
 ) -> list[ZXGraph]:
-    pending = list(graphs)
     if strategy == "cat5":
+        pending = [(g, 0) for g in graphs]
         # Planned joint pair-projector pass first: gadgetize every magic
         # phase, plan a min-rank perfect matching, and enumerate only the
         # GF(2)-consistent branch assignments (2^rank leaves directly).
         # Graphs the planner declines fall through to per-pair recursion.
+        # Recursion leaves (depth > 0) re-plan with a small search budget:
+        # their matchings are small-rank and near-greedy, and a full-budget
+        # ILS per leaf would dominate compile time (hundreds of leaves per
+        # heavy rung).
         recurse: list[ZXGraph] = []
         results: list[ZXGraph] = []
         while pending:
             _check_budget(len(pending) + len(results), max_terms)
-            g = pending.pop()
+            g, depth = pending.pop()
             if tcount(g) == 0:
                 results.append(g)
                 continue
-            leaves = planned_magic_decomposition(g)
+            leaves = planned_magic_decomposition(
+                g, restarts=512 if depth == 0 else 32, max_terms=max_terms
+            )
             if leaves is None:
                 recurse.append(g)
             else:
-                pending.extend(leaves)
+                pending.extend((leaf, depth + 1) for leaf in leaves)
         results.extend(
             _decompose(
                 recurse,
@@ -114,25 +132,31 @@ def find_stab_magic(
                     g, pick_random=False, strategy=strategy
                 ),
                 max_terms=max_terms,
+                tight=tight,
             )
         )
         return merge_equal_states(results) if len(results) > 1 else results
     return _decompose(
-        pending,
+        list(graphs),
         count_fn=tcount,
         replace_fn=lambda g: replace_magic_states(g, pick_random=False, strategy=strategy),
         max_terms=max_terms,
+        tight=tight,
     )
 
 
 def find_stab_u3(
-    graphs: Iterable[ZXGraph], strategy: str, max_terms: int | None = None
+    graphs: Iterable[ZXGraph],
+    strategy: str,
+    max_terms: int | None = None,
+    tight: bool = False,
 ) -> list[ZXGraph]:
     return _decompose(
         list(graphs),
         count_fn=u3_count,
         replace_fn=lambda g: replace_u3_states(g, strategy=strategy),
         max_terms=max_terms,
+        tight=tight,
     )
 
 
@@ -355,15 +379,20 @@ def merge_equal_states(graphs: list[ZXGraph]) -> list[ZXGraph]:
 
 
 def find_stab(
-    graph: ZXGraph, strategy: str, max_terms: int | None = None
+    graph: ZXGraph,
+    strategy: str,
+    max_terms: int | None = None,
+    tight: bool = False,
 ) -> list[ZXGraph]:
     """Decompose into a sum of Clifford (stabilizer) scalar graphs.
 
     ``max_terms``: optional budget; raises DecompositionBudgetExceeded when
     the working set exceeds 4x the budget (variant-selection abort).
+    ``tight``: the budget is a landed competitor's term count, not a
+    speculative cap — abort losing work earlier (8x vs 32x visit budget).
     """
     full_reduce(graph, paramSafe=True)
-    graphs = find_stab_u3([graph], strategy=strategy, max_terms=max_terms)
+    graphs = find_stab_u3([graph], strategy=strategy, max_terms=max_terms, tight=tight)
     return merge_parallel_graphs(
-        find_stab_magic(graphs, strategy=strategy, max_terms=max_terms)
+        find_stab_magic(graphs, strategy=strategy, max_terms=max_terms, tight=tight)
     )

@@ -318,10 +318,24 @@ def _relabel_qubits(program_text: str, mapping: dict[int, int]) -> str:
         # Parens args may be split across tokens, e.g. "X_ERROR(0.1)".
         while head[-1].count("(") > head[-1].count(")") and rest:
             head.append(rest.pop(0))
-        body = [
-            str(mapping.get(int(t), int(t))) if t.isdigit() else t
-            for t in rest
-        ]
+        body = []
+        for t in rest:
+            if t.isdigit():
+                body.append(str(mapping.get(int(t), int(t))))
+            elif t.lstrip("!")[:1] in "XYZ":
+                # Pauli-product atoms (MPP targets), e.g. "X11*Z13*!Y16".
+                atoms = []
+                for a in t.split("*"):
+                    sign = "!" if a.startswith("!") else ""
+                    basis = a[len(sign) : len(sign) + 1]
+                    tail = a[len(sign) + 1 :]
+                    if basis not in "XYZ" or not tail.isdigit():
+                        atoms = None
+                        break
+                    atoms.append(f"{sign}{basis}{mapping.get(int(tail), int(tail))}")
+                body.append("*".join(atoms) if atoms is not None else t)
+            else:
+                body.append(t)
         out_lines.append(" ".join(head + body))
     return "\n".join(out_lines)
 

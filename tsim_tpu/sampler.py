@@ -736,6 +736,13 @@ class _CompiledSamplerBase:
         return batch_size
 
     # -------------------------------------------------------------- sampling
+    @staticmethod
+    def _validate_shot_args(shots: int, batch_size: int | None) -> None:
+        if shots < 0:
+            raise ValueError(f"shots must be non-negative, got {shots}")
+        if batch_size is not None and batch_size < 1:
+            raise ValueError(f"batch_size must be at least 1, got {batch_size}")
+
     def _sample_batches(
         self,
         shots: int,
@@ -743,10 +750,7 @@ class _CompiledSamplerBase:
         *,
         compute_reference: bool = False,
     ):
-        if shots < 0:
-            raise ValueError(f"shots must be non-negative, got {shots}")
-        if batch_size is not None and batch_size < 1:
-            raise ValueError(f"batch_size must be at least 1, got {batch_size}")
+        self._validate_shot_args(shots, batch_size)
 
         if shots == 0:
             empty = np.empty((0, self._program.num_outputs), dtype=np.bool_)
@@ -850,29 +854,28 @@ class _CompiledSamplerBase:
         xor_detector_ref: bool = False,
     ):
         """Postselected sampling: direct-discarded shots never reach JAX."""
-        if shots < 0:
-            raise ValueError(f"shots must be non-negative, got {shots}")
-        if batch_size is not None and batch_size < 1:
-            raise ValueError(f"batch_size must be at least 1, got {batch_size}")
+        self._validate_shot_args(shots, batch_size)
+        n_out = self._program.num_outputs
 
-        num_outputs = self._program.num_outputs
         if shots == 0:
-            empty = np.empty((0, num_outputs), dtype=np.bool_)
-            empty_discarded = np.empty(0, dtype=np.bool_)
-            if compute_reference:
-                return empty, np.zeros(num_outputs, dtype=np.bool_), empty_discarded
-            return empty, None, empty_discarded
+            # Zero-shot contract: an all-False reference row (never
+            # evaluated) and empty sample/discard arrays.
+            ref0 = np.zeros(n_out, dtype=np.bool_) if compute_reference else None
+            return np.empty((0, n_out), dtype=np.bool_), ref0, np.empty(0, dtype=np.bool_)
 
+        # Columns the direct (Clifford) prefilter can postselect on without
+        # any device evaluation.
         postselect_direct = postselection_mask & self._direct_detector_mask
 
         if not self._program.components:
-            samples = self._sample_direct(shots)
-            if compute_reference:
-                reference = self._compute_reference_sample()
-                if xor_detector_ref:
-                    samples[:, : self._num_detectors] ^= reference[: self._num_detectors]
-                return samples, reference, np.zeros(shots, dtype=np.bool_)
-            return samples, None, np.zeros(shots, dtype=np.bool_)
+            # Fully-direct program: host sampling only; nothing is ever
+            # discarded here (the caller applies the mask to the rows).
+            rows = self._sample_direct(shots)
+            ref = self._compute_reference_sample() if compute_reference else None
+            if ref is not None and xor_detector_ref:
+                nd = self._num_detectors
+                rows[:, :nd] ^= ref[:nd]
+            return rows, ref, np.zeros(shots, dtype=np.bool_)
 
         if batch_size is None:
             batch_size = self._resolve_batch_size(shots, None, compute_reference=False)
@@ -882,11 +885,9 @@ class _CompiledSamplerBase:
             q = 8 * self._mesh.devices.size
             batch_size = ((batch_size + q - 1) // q) * q
 
-        reference: np.ndarray | None = None
-        if compute_reference:
-            reference = self._compute_reference_sample()
+        reference = self._compute_reference_sample() if compute_reference else None
 
-        result = np.zeros((shots, num_outputs), dtype=np.bool_)
+        result = np.zeros((shots, n_out), dtype=np.bool_)
         was_discarded = np.zeros(shots, dtype=np.bool_)
         survivor_f: list[np.ndarray] = []
         survivor_idx: list[int] = []

@@ -30,6 +30,29 @@ class GraphSum:
         self.graphs = graphs
 
 
+class DecompositionBudgetExceeded(Exception):
+    """Raised when a decomposition variant exceeds the caller's term budget
+    (used by the compile pipeline to abort losing heuristic variants
+    early)."""
+
+
+_DECOMP_DEBUG = __import__("os").environ.get("TSIM_TPU_COMPILE_DEBUG", "") == "1"
+
+# Matching-cost weight of a pair the validity filter will drop (its two
+# gadgets fall to per-leaf re-planning/recursion), in units of rank
+# doublings; unmatched gadgets are charged half this. Measured on the
+# grown-cultivation full-plug rung: dropping 17 pairs multiplied the leaf
+# count by ~2^6.3 (~0.37 doublings per dropped pair), so a full doubling
+# per drop overweights the filter and pushes the planner to high-rank
+# all-kept matchings that enumerate worse than they recurse.
+_PLAN_DROP_PENALTY = 1.0
+
+
+def _ddebug(msg: str) -> None:
+    if _DECOMP_DEBUG:
+        print(f"[tsim-tpu decompose] {msg}", flush=True)
+
+
 def _effective_denominator(g: ZXGraph, v: int) -> int:
     return g.phase(v).denominator
 
@@ -865,6 +888,17 @@ def set_pi_hub_normalize(on: bool) -> bool:
     return prev
 
 
+def set_plan_drop_penalty(w: float) -> float:
+    """Set the planner's matching cost for filter-dropped pairs (see
+    ``_PLAN_DROP_PENALTY``). The compile pipeline races 1.0 against 0.375
+    on heavy rungs: which side of the trade-off wins is structure-
+    dependent. Returns the previous value."""
+    global _PLAN_DROP_PENALTY
+    prev = _PLAN_DROP_PENALTY
+    _PLAN_DROP_PENALTY = w
+    return prev
+
+
 def gadgetize_magic(g: ZXGraph) -> bool:
     """Unfuse every non-gadget magic (odd pi/4) phase into a phase gadget.
 
@@ -912,39 +946,39 @@ def gadgetize_magic(g: ZXGraph) -> bool:
     return changed
 
 
-def _reduce_gf2(basis: dict, vec: frozenset):
-    """Reduce ``vec`` against ``basis`` (pivot -> vector); returns
-    (pivot, reduced) with pivot None when dependent. Coordinates must be
-    integers (vertex ids >= 0, params mapped to negatives by the
-    planner) so ``max`` is cheap — this runs tens of millions of times
-    on big ladders."""
-    v = set(vec)
-    while v:
-        piv = max(v)
-        b = basis.get(piv)
-        if b is None:
-            return piv, v
-        v ^= b
-    return None, v
-
-
 def plan_projector_cover(
-    g: ZXGraph, gadgets, restarts: int = 512
+    g: ZXGraph, gadgets, restarts: int = 512, stale_limit: int = 64
 ) -> list[tuple]:
-    """Greedy min-rank perfect matching over projector-splittable pairs.
+    """Min-rank perfect matching over projector-splittable gadget pairs.
 
     Returns a list of ``(i, j, vec)`` gadget-index pairs with their
     constraint vectors (vertex ids plus ("param", name) coordinates),
-    minimizing the GF(2) rank of the chosen vectors over randomized
-    restarts. Pairs whose symdiff D contains another chosen pair's leaf or
-    hub are dropped (their constraint coordinates would be removed by the
-    other split).
+    minimizing the GF(2) rank of the chosen vectors (the planned leaf
+    count is 2^rank). Pairs whose symdiff D contains another chosen pair's
+    leaf or hub are dropped (their constraint coordinates would be removed
+    by the other split).
+
+    The pair vectors factor through per-gadget vectors — ``vec(i, j) =
+    u_i XOR u_j`` with ``u_i = targets(i) | params(hub_i)`` — so this is a
+    min-rank matching problem on the ``u_i``. A dependent-first greedy
+    builds the initial matching; a seeded 2-swap iterated local search
+    (re-pairing two matched pairs, accepting cost-non-increasing moves so
+    plateaus can be walked, kicking from the best on stalls) then drives
+    the cost far below the greedy plateau: on the grown-cultivation heavy
+    rungs the greedy-with-restarts planner this replaces plateaued at
+    rank 16 (65,536 leaves) where the search finds rank <=9 (<=512
+    leaves) in ~30k moves. The cost charges ``2*(rank + dropped) +
+    unmatched``: a pair the validity filter will drop leaves its two
+    gadgets to per-pair recursion, one extra 2-way split (+1 doubling)
+    per pair, same as two unmatched gadgets. ``restarts`` scales the move
+    budget (kept for API compatibility). Deterministic: fixed RNG seed,
+    move-count budget.
     """
     import random
 
     n = len(gadgets)
-    raw = []
-    coords = set()
+    allowed_set = set()
+    orig_vec = {}
     for i in range(n):
         l1, h1, t1 = gadgets[i]
         for j in range(i + 1, n):
@@ -957,68 +991,177 @@ def plan_projector_cover(
                 continue
             D = t1 ^ t2
             Qd = frozenset(g.get_params(h1)) ^ frozenset(g.get_params(h2))
-            vec = frozenset(D) | {("param", p) for p in Qd}
-            coords |= vec
-            raw.append((i, j, vec))
-    if not raw:
+            orig_vec[(i, j)] = frozenset(D) | {("param", p) for p in Qd}
+            allowed_set.add((i, j))
+    if not allowed_set:
         return []
-    # Integer coordinate ids so the GF(2) pivot scans are cheap; ranked by
-    # str so the greedy elimination order (and hence the matching quality,
-    # which is sensitive to it) is stable across representations.
-    rank_of = {c: k for k, c in enumerate(sorted(coords, key=str))}
-    allowed = [
-        (i, j, frozenset(rank_of[c] for c in vec)) for (i, j, vec) in raw
-    ]
-    # Original-coordinate vectors, for the stale-pair filter below: the
-    # rank-int representation cannot distinguish vertex ids from param
-    # coordinates, which that filter needs.
-    orig_vec = {(i, j): vec for (i, j, vec) in raw}
-    # Small graphs need few restarts to hit the rank plateau; the full
-    # budget only pays off on the big plugged ladder steps. Early-stop once
-    # the best score has not improved for a while: on the 2-check
-    # cultivation ladder rank 10 (1024 terms) only appears past ~50
-    # restarts, while rank plateaus within ~64 non-improving seeds
-    # (measured in dev/cult2_rung_probe.py; each restart is O(pairs^2)
-    # pivot scans, ~10ms at 42 gadgets).
-    restarts = min(restarts, max(16, 6 * n))
-    stale_limit = 64
-    stale = 0
-    best = None
-    for seed in range(restarts):
-        if stale >= stale_limit:
+
+    # Bitmask encoding: coordinates are every D/param coordinate plus
+    # every gadget leaf/hub id (so the validity-filter test is a mask op).
+    # XOR/elimination are single machine-word ops per 64 coordinates.
+    # Coordinate ids are assigned in str-sorted order so the planner (and
+    # hence term counts) is stable across representations.
+    all_coords = set()
+    for (l, h, t) in gadgets:
+        all_coords |= set(t)
+        all_coords |= {("param", p) for p in g.get_params(h)}
+        all_coords |= {l, h}
+    coord_id = {c: k for k, c in enumerate(sorted(all_coords, key=str))}
+    umask = []
+    lhmask = []
+    for (l, h, t) in gadgets:
+        m = 0
+        for c in t:
+            m |= 1 << coord_id[c]
+        for p in g.get_params(h):
+            m |= 1 << coord_id[("param", p)]
+        umask.append(m)
+        lhmask.append((1 << coord_id[l]) | (1 << coord_id[h]))
+    dmask = {}
+    for (i, j), vec in orig_vec.items():
+        m = 0
+        for c in vec:
+            if not isinstance(c, tuple):
+                m |= 1 << coord_id[c]
+        dmask[(i, j)] = m
+
+    def _reduce(v: int, basis: list) -> int:
+        # basis kept in descending order with distinct msbs (echelon), so
+        # one pass fully reduces.
+        for b in basis:
+            w = v ^ b
+            if w < v:
+                v = w
+        return v
+
+    drop_w = _PLAN_DROP_PENALTY
+
+    def _cost(pair_list) -> float:
+        # rank of filter-surviving pairs, plus penalties for pairs the
+        # validity filter will drop and for unmatched gadgets (both fall
+        # to later recursion; see _PLAN_DROP_PENALTY).
+        lh = 0
+        for (i, j) in pair_list:
+            lh |= lhmask[i] | lhmask[j]
+        basis: list = []
+        r = 0
+        dropped = 0
+        for (i, j) in pair_list:
+            own = lhmask[i] | lhmask[j]
+            if dmask[(i, j)] & lh & ~own:
+                dropped += 1
+                continue
+            v = _reduce(umask[i] ^ umask[j], basis)
+            if v:
+                basis.append(v)
+                basis.sort(reverse=True)
+                r += 1
+        return r + drop_w * dropped + 0.5 * drop_w * (n - 2 * len(pair_list))
+
+    # Dependent-first greedy start (pairs whose vector is already in the
+    # span are rank-free; otherwise prefer small residuals; pairs that
+    # would be dropped against the all-gadgets leaf/hub set come last).
+    lh_all = 0
+    for m_ in lhmask:
+        lh_all |= m_
+    cand = sorted(allowed_set)
+    unmatched = set(range(n))
+    basis: list = []
+    cur: list = []
+    while len(unmatched) > 1:
+        pick = None
+        for (i, j) in cand:
+            if i not in unmatched or j not in unmatched:
+                continue
+            own = lhmask[i] | lhmask[j]
+            dirty = 1 if dmask[(i, j)] & lh_all & ~own else 0
+            v = _reduce(umask[i] ^ umask[j], basis)
+            key = (dirty, 1 if v else 0, v.bit_count())
+            if pick is None or key < pick[0]:
+                pick = (key, i, j, v)
+                if key == (0, 0, 0):
+                    break
+        if pick is None:
             break
-        order = list(allowed)
-        random.Random(seed).shuffle(order)
-        unmatched = set(range(n))
-        basis: dict = {}
-        chosen = []
-        rank = 0
-        while len(unmatched) > 1:
-            pick = None
-            for (i, j, vec) in order:
-                if i not in unmatched or j not in unmatched:
-                    continue
-                piv, v = _reduce_gf2(basis, vec)
-                key = (0 if piv is None else 1, len(v))
-                if pick is None or key < pick[0]:
-                    pick = (key, i, j, piv, v, vec)
-                    if key == (0, 0):
-                        break
-            if pick is None:
-                break
-            _, i, j, piv, v, vec = pick
-            if piv is not None:
-                basis[piv] = v
-                rank += 1
-            chosen.append((i, j, vec))
-            unmatched -= {i, j}
-        score = (rank, n - 2 * len(chosen))
-        if best is None or score < best[0]:
-            best = (score, chosen)
-            stale = 0
+        _, i, j, v = pick
+        if v:
+            basis.append(v)
+            basis.sort(reverse=True)
+        cur.append((i, j))
+        unmatched -= {i, j}
+
+    # Iterated local search: seeded 2-swap descent accepting cost-non-
+    # increasing moves (plateau walking), with a random multi-swap kick
+    # from the best matching whenever progress stalls. Move budget scales
+    # with problem size; cost evaluation is a full (cheap) re-elimination
+    # of ~n/2 int vectors.
+    def _swap_opts(pa, pb):
+        (i, j), (k, l) = pa, pb
+        opts = []
+        p = (min(i, k), max(i, k))
+        q = (min(j, l), max(j, l))
+        if p in allowed_set and q in allowed_set:
+            opts.append((p, q))
+        p = (min(i, l), max(i, l))
+        q = (min(j, k), max(j, k))
+        if p in allowed_set and q in allowed_set:
+            opts.append((p, q))
+        return opts
+
+    rnd = random.Random(0x51AB)
+    # 8n^2 scaling keeps recursion-leaf replans (n ~ 8-34, called per
+    # planned leaf) at milliseconds while the big top-level rungs (n >= 58)
+    # get the full restarts*n moves the heavy plateaus need.
+    budget = min(restarts * n, 8 * n * n)
+    m = len(cur)
+    cur_cost = _cost(cur)
+    best_pairs, best_cost = list(cur), cur_cost
+    since = 0
+    stall = max(1024, budget // 8)
+    while budget > 0 and m >= 2:
+        budget -= 1
+        since += 1
+        if since > stall:
+            # Kick: restart from the best matching perturbed by a few
+            # unconditional random swaps, then descend again.
+            cur = list(best_pairs)
+            for _ in range(3):
+                a = rnd.randrange(m)
+                b = rnd.randrange(m - 1)
+                if b >= a:
+                    b += 1
+                opts = _swap_opts(cur[a], cur[b])
+                if opts:
+                    cur[a], cur[b] = opts[rnd.randrange(len(opts))]
+            cur_cost = _cost(cur)
+            since = 0
+            continue
+        a = rnd.randrange(m)
+        b = rnd.randrange(m - 1)
+        if b >= a:
+            b += 1
+        opts = _swap_opts(cur[a], cur[b])
+        if not opts:
+            continue
+        p1, p2 = opts[rnd.randrange(len(opts))]
+        old_a, old_b = cur[a], cur[b]
+        cur[a], cur[b] = p1, p2
+        c = _cost(cur)
+        if c <= cur_cost:
+            cur_cost = c
+            if c < best_cost:
+                best_pairs, best_cost = list(cur), c
+                since = 0
         else:
-            stale += 1
-    chosen = best[1]
+            cur[a], cur[b] = old_a, old_b
+    # Returned constraint vectors use the integer coordinate ids (the
+    # consistency eliminator needs orderable coordinates); the validity
+    # filter below uses the original-coordinate vectors, which distinguish
+    # vertex ids from ("param", name) tuples.
+    chosen = [
+        (i, j, frozenset(coord_id[c] for c in orig_vec[(i, j)]))
+        for (i, j) in best_pairs
+    ]
     # Drop pairs whose D references another chosen pair's removed vertices.
     lh = set()
     for (i, j, _) in chosen:
@@ -1033,13 +1176,12 @@ def plan_projector_cover(
     return valid
 
 
-def _consistent_assignments(vectors: list[frozenset], max_rank: int):
-    """Enumerate the affine subspace of consistent branch choices.
+def _consistency_exprs(vectors: list[frozenset]):
+    """GF(2)-reduce the pair constraint vectors.
 
-    Returns a list of c-tuples (one bit per pair), or None when the rank
-    exceeds ``max_rank``."""
-    import itertools
-
+    Returns ``(free_count, exprs)``: the affine subspace of consistent
+    branch choices has 2^free_count points, and each pair's bit is the XOR
+    of the free bits in its expression."""
     basis: dict = {}
     free_count = 0
     exprs = []  # per pair: frozenset of free indices whose XOR gives c_p
@@ -1061,6 +1203,17 @@ def _consistent_assignments(vectors: list[frozenset], max_rank: int):
             expr ^= be
         else:
             exprs.append(frozenset(expr))
+    return free_count, exprs
+
+
+def _consistent_assignments(vectors: list[frozenset], max_rank: int):
+    """Enumerate the affine subspace of consistent branch choices.
+
+    Returns a list of c-tuples (one bit per pair), or None when the rank
+    exceeds ``max_rank``."""
+    import itertools
+
+    free_count, exprs = _consistency_exprs(vectors)
     if free_count > max_rank:
         return None
     out = []
@@ -1070,14 +1223,22 @@ def _consistent_assignments(vectors: list[frozenset], max_rank: int):
 
 
 def planned_magic_decomposition(
-    g: ZXGraph, max_rank: int = 14, restarts: int = 512
+    g: ZXGraph,
+    max_rank: int = 14,
+    restarts: int = 512,
+    max_terms: int | None = None,
 ) -> list[ZXGraph] | None:
     """One planned joint-split pass; returns reduced nonzero leaves or None.
 
     None means planning is not applicable (too few gadget pairs or rank too
-    large) and the caller should fall back to per-pair recursion.
+    large) and the caller should fall back to per-pair recursion. With
+    ``max_terms`` set, a plan whose 2^rank leaf count already exceeds the
+    budget raises BEFORE enumerating (each leaf costs a full reduction, so
+    a doomed variant would otherwise burn the whole enumeration first).
     """
     from .simplify import full_reduce
+
+    import itertools
 
     work = g.copy()
     gadgetize_magic(work)
@@ -1087,10 +1248,26 @@ def planned_magic_decomposition(
         return None
     pairs = plan_projector_cover(work, gadgets, restarts)
     if len(pairs) < 2:
+        _ddebug(f"plan declined: {len(gadgets)} gadgets, {len(pairs)} pairs")
         return None
-    assigns = _consistent_assignments([vec for (_, _, vec) in pairs], max_rank)
-    if assigns is None:
+    rank, exprs = _consistency_exprs([vec for (_, _, vec) in pairs])
+    if max_terms is not None:
+        # Budgeted mode: the 2^rank leaf count is this pass's floor, so a
+        # plan already over budget aborts the variant BEFORE enumerating
+        # (each leaf costs a full reduction) — and before the catastrophic
+        # alternative, falling into 2^(T/2) per-pair recursion.
+        if rank >= 62 or (1 << rank) > 4 * max_terms:
+            _ddebug(
+                f"plan rank {rank} over budget {max_terms}: abort variant"
+            )
+            raise DecompositionBudgetExceeded(1 << min(rank, 62))
+    elif rank > max_rank:
+        _ddebug(f"plan declined: rank {rank} > max_rank {max_rank}")
         return None
+    assigns = [
+        tuple(sum(bits[k] for k in e) & 1 for e in exprs)
+        for bits in itertools.product((0, 1), repeat=rank)
+    ]
     leaves = []
     for cs in assigns:
         gg = work.copy()
