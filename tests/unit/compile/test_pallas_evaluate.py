@@ -92,6 +92,38 @@ def test_circuit_kernels(text):
         _check(csg)
 
 
+def _multi_family_csg(n_graphs):
+    """All four term families across ``n_graphs`` graphs with small
+    per-family term counts — interpret-mode-affordable on CPU (the CPU
+    blowup is chained canonicalization DEPTH, not family coverage)."""
+    from fractions import Fraction
+
+    graphs = []
+    for k in range(1, n_graphs + 1):
+        g = ZXGraph()
+        g.scalar.add_node(Fraction(1, 4) * (2 * (k % 3) + 1), [f"f{k % 2}"])
+        if k % 2:
+            g.scalar.add_phase_pair(1, 7, ["f0"], ["f1"])
+        if k % 3 == 0:
+            g.scalar.add_halfpi(k % 8, ["f1"])
+        if k % 4 == 0:
+            g.scalar.add_pi_pair(frozenset({"f0"}), frozenset({"f1"}))
+        g.scalar.power2 -= k % 3
+        graphs.append(g)
+    return compile_scalar_graphs(graphs, ["f0", "f1"])
+
+
+def test_wide_layout_multi_family_cpu():
+    """Wide-layout exact kernel, every term family, runs in every CPU CI
+    pass (>= 24 graphs selects the wide layout)."""
+    _check(_multi_family_csg(30))
+
+
+def test_small_layout_multi_family_cpu():
+    """Transposed small-G exact kernel, every term family, CPU CI."""
+    _check_small(_multi_family_csg(23))
+
+
 def _check_small(csg, batch=9):
     from tsim_tpu.compile.pallas_evaluate import evaluate_abs_fused_small
 
