@@ -63,41 +63,81 @@ def _bucket_flops(circuit, P):
     return executed, live_dots * 2.0 * P
 
 
-def timed(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timed(fn, xs, reps=3):
+    """Best per-call seconds for ``fn`` over the R distinct inputs ``xs``.
+
+    All R calls run inside ONE jit whose outputs are reduced to a scalar,
+    and the scalar is fetched — on the remote-tunnel backend, per-dispatch
+    latency is ~25 ms and ``block_until_ready`` on a device array can
+    return before the remote computation drains, so naive per-call timing
+    reads pure tunnel noise (measured 0.02 ms/"rung" at one batch size and
+    25 ms at another). Fetching the scalar forces the whole chain; the
+    ~25 ms dispatch bias is amortized over R calls.
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def many(xs):
+        tot = jnp.float32(0)
+        for x in xs:
+            tot = tot + jnp.sum(fn(x))
+        return tot
+
+    float(many(xs))  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        float(many(xs))
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best / len(xs)
 
 
 def main() -> None:
+    """python dev/roofline.py [batch_log2] [workload]
+
+    workload: an int (cultivation_d3 checks count, default 2) or
+    ``d3dist`` (the 35-qubit d=3 distillation benchmark)."""
     b_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 15
-    checks = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    wl = sys.argv[2] if len(sys.argv) > 2 else "2"
     B = 1 << b_log2
 
     from tsim_tpu.models.cultivation import cultivation_d3
+    from tsim_tpu.models.distillation import distillation_d3
     from tsim_tpu.sampler import CompiledDetectorSampler
     from tsim_tpu.compile.pallas_sample import (
         evaluate_abs_sample_f32,
         sample_eligible,
     )
 
-    ckpt = f"/tmp/cult{checks}_sampler.ckpt"
-    if os.path.exists(ckpt):
+    # Cache the compiled sampler keyed on the planner/compile source hash
+    # (a stale cache would silently measure an old compiled program), under
+    # the repo rather than world-writable /tmp. --fresh forces a recompile.
+    import hashlib
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for rel in ("tsim_tpu/zx/decompose.py", "tsim_tpu/compile/stabrank.py",
+                "tsim_tpu/compile/pipeline.py", "tsim_tpu/compile/compile.py"):
+        with open(os.path.join(repo, rel), "rb") as fh:
+            h.update(fh.read())
+    cache_dir = os.path.join(repo, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    ckpt = os.path.join(
+        cache_dir, f"roofline_{wl}_{h.hexdigest()[:12]}.ckpt"
+    )
+    if os.path.exists(ckpt) and "--fresh" not in sys.argv:
         smp = CompiledDetectorSampler.load(ckpt)
     else:
-        print(f"compiling cultivation_d3(checks={checks})...", flush=True)
-        smp = cultivation_d3(p=0.001, checks=checks).compile_detector_sampler(
-            seed=0
-        )
+        print(f"compiling workload {wl}...", flush=True)
+        if wl == "d3dist":
+            c = distillation_d3(p=0.05)
+        else:
+            c = cultivation_d3(p=0.001, checks=int(wl))
+        smp = c.compile_detector_sampler(seed=0)
         smp.save(ckpt)
 
     rng = np.random.default_rng(0)
+    R = 16
     rows = []
     tot_t = tot_exec = tot_use = 0.0
     for ci, comp in enumerate(smp._program.components):
@@ -105,14 +145,18 @@ def main() -> None:
             if rung.num_graphs == 0:
                 continue
             P = max(rung.n_params, 8)
-            x = rng.integers(0, 2, size=(B, rung.n_params)).astype(np.uint8)
-            xd = jax.device_put(x)
+            xs = [
+                jax.device_put(
+                    rng.integers(0, 2, size=(B, rung.n_params)).astype(
+                        np.uint8
+                    )
+                )
+                for _ in range(R)
+            ]
             if not sample_eligible(rung):
                 print(f"  c{ci} r{ri}: ineligible (exact path)", flush=True)
                 continue
-            t = timed(
-                jax.jit(lambda v, r=rung: evaluate_abs_sample_f32(r, v)), xd
-            )
+            t = timed(lambda v, r=rung: evaluate_abs_sample_f32(r, v), xs)
             fe, fu = _bucket_flops(rung, P)
             rows.append((ci, ri, rung.num_graphs, P, t, fe, fu))
             tot_t += t
