@@ -122,7 +122,7 @@ def _body_ablate(dims, parts, *refs):
 
 def run_variant(rung, x, Bp, P, parts):
     total = None
-    for tables, dims in ps._prepared_sample_buckets(rung, P):
+    for tables, dims in ps._prepared_sample_buckets(rung, P)[0]:
         T1, T2, T3, T4, _GT, Gp, bt = dims
         kdims = (T1, T2, T3, T4, _GT)
         inputs = [tables[k] for k in ps._TABLE_KEYS]

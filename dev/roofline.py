@@ -42,7 +42,7 @@ def _bucket_flops(circuit, P):
 
     executed = sum(
         (d[0] + d[1] + 2 * d[2] + 2 * d[3]) * 2.0 * P * d[5]
-        for _, d in _prepared_sample_buckets(circuit, P)
+        for _, d in _prepared_sample_buckets(circuit, P)[0]
     )
     # Live work: per-(t, g) live term slots. Node/pair families carry
     # explicit counts; halfpi/pi-product padding is all-zero rows.

@@ -127,6 +127,34 @@ def test_eligibility_gate():
     assert not sample_eligible(big)
 
 
+def test_large_common_prefactor_bias_fold():
+    """A deep rung's graphs share a large negative power2 (grown
+    cultivation full plug: [-89, -73]); the common scale is folded out of
+    the kernel and restored after the sum, so the circuit stays eligible
+    and exact — without the fold, per-graph products would sit ~2^-100
+    and their squares would flush to zero in f32."""
+    from fractions import Fraction
+
+    graphs = []
+    for k in range(30):
+        g = ZXGraph()
+        g.scalar.add_node(Fraction(1, 4) * (2 * (k % 4) + 1), [f"f{k % 2}"])
+        if k % 3 == 0:
+            g.scalar.add_phase_pair(1, 7, ["f0"], ["f1"])
+        g.scalar.power2 = -85 + (k % 7)
+        graphs.append(g)
+    csg = compile_scalar_graphs(graphs, ["f0", "f1"])
+    assert sample_eligible(csg)
+    _check(csg)
+
+    # And positive-scale bias.
+    for g in graphs:
+        g.scalar.power2 += 150
+    csg2 = compile_scalar_graphs(graphs, ["f0", "f1"])
+    assert sample_eligible(csg2)
+    _check(csg2)
+
+
 def test_sampler_uses_f32_mode(monkeypatch):
     """End-to-end: forcing f32 sampling mode preserves the sampled
     distribution (same circuit, f32 vs exact eval, statistically close)."""

@@ -247,8 +247,17 @@ def _complex_of_coeffs(c: np.ndarray) -> np.ndarray:
     return np.stack([re, im])
 
 
-def _sample_tables(blocks: dict) -> dict:
-    """Derive the f32 cos/sin + prefold tables from exact bucket blocks."""
+def _sample_tables(blocks: dict, bias: int = 0) -> dict:
+    """Derive the f32 cos/sin + prefold tables from exact bucket blocks.
+
+    ``bias``: per-circuit power-of-two rescale folded OUT of the prefold
+    (the caller multiplies the summed result by 2^bias). A deep ladder
+    rung can carry a large COMMON prefactor scale (grown cultivation full
+    plug: power2 in [-89, -73] relative to the component base) that is
+    pure headroom waste inside the kernel — products would sit ~2^-100
+    and their squares would flush to zero on TPU (denormals) — while the
+    spread around it is small.
+    """
     # The small-path block cache may hand back device arrays; the prefold
     # needs f64 on host (exp2 of power2 overflows f32 intermediates).
     blocks = {k: np.asarray(v) for k, v in blocks.items()}
@@ -268,7 +277,7 @@ def _sample_tables(blocks: dict) -> dict:
     phase = blocks["pf_phase"][0] & 7
     wph = np.exp(1j * np.pi / 4 * phase)
     prec = (pre[0] + 1j * pre[1]) * wph * np.exp2(
-        blocks["pf_pow"][0].astype(np.float64)
+        blocks["pf_pow"][0].astype(np.float64) - bias
     )
     prec = prec * (blocks["pf_approx"][0] + 1j * blocks["pf_approx"][1])
     return dict(
@@ -333,15 +342,25 @@ def sample_eligible(circuit: CompiledScalarGraphs) -> bool:
     """True if the f32 dynamic range safely covers this circuit's products.
 
     Per-graph |product| is bounded by 2^T1 * 4^T4 and below (nonzero case)
-    by |1+w^3|^T1 * |..|^T4 >= 2^(-0.4 T1 - 0.8 T4); the prefolded
-    prefactor contributes its own 2^power2. Keep the whole exponent
-    budget well inside f32's +-126.
+    by |1+w^3|^T1 * |..|^T4 >= 2^(-0.4 T1 - 0.8 T4). The prefactor's
+    COMMON power-of-two scale is folded out of the kernel (``bias`` in
+    :func:`_sample_tables`; the result is rescaled after the sum), so only
+    its per-graph SPREAD consumes exponent budget. Keep the budget well
+    inside f32's +-126, and the bias itself within the two-step rescale's
+    reach.
     """
     t1 = int(np.asarray(circuit.node_phases.counts).max(initial=0))
     t4 = int(np.asarray(circuit.phase_pairs.counts).max(initial=0))
     p2 = np.asarray(circuit.prefactor.power2)
-    pmax = int(np.abs(p2).max(initial=0))
-    return t1 + 2 * t4 + pmax <= 110
+    # No ``initial=`` clamp: with all-negative powers (deep rungs) a
+    # 0-clamped max reads the whole scale as spread.
+    spread = int(p2.max() - p2.min()) if p2.size else 0
+    bias = int(p2.max()) if p2.size else 0
+    # Positive bias multiplies back INTO the result: past ~2^110 the
+    # rescaled magnitude overflows f32. Negative bias only risks
+    # underflow-to-zero of values the exact path's f32 output would also
+    # flush, so it gets the full two-step rescale reach.
+    return t1 + 2 * t4 + spread <= 110 and -200 <= bias <= 110
 
 
 # ------------------------------------------------------------- entry point
@@ -350,33 +369,44 @@ _SAMPLE_CACHE: dict = {}
 _SAMPLE_DEVICE_CACHE: dict = {}
 
 
+def _sample_bias(circuit: CompiledScalarGraphs) -> int:
+    """Per-circuit power-of-two prefold rescale (see _sample_tables)."""
+    p2 = np.asarray(circuit.prefactor.power2)
+    return int(p2.max()) if p2.size else 0
+
+
 def _prepared_sample_buckets(circuit: CompiledScalarGraphs, P: int):
+    """Returns ``(buckets, bias)``: every bucket's prefold is scaled by
+    2^-bias; the caller multiplies the summed result back."""
     key = (id(circuit), P, jax.default_backend())
     entry = _SAMPLE_CACHE.get(key)
     if entry is None or entry[0] is not circuit:
+        bias = _sample_bias(circuit)
         if circuit.num_graphs < 24:
             blocks, dims = _prepared_small(circuit, P)
             T1, T2, T3, T4, Gp = dims
-            buckets = [(_sample_tables(blocks), (T1, T2, T3, T4, Gp, Gp, 0))]
+            buckets = [
+                (_sample_tables(blocks, bias), (T1, T2, T3, T4, Gp, Gp, 0))
+            ]
         else:
             buckets = [
-                (_sample_tables(blocks), dims)
+                (_sample_tables(blocks, bias), dims)
                 for blocks, dims in _prepared_buckets_np(circuit, P)
             ]
-        entry = (circuit, buckets)
+        entry = (circuit, buckets, bias)
         _SAMPLE_CACHE[key] = entry
-    buckets = entry[1]
+    buckets, bias = entry[1], entry[2]
     if _tracing():
-        return buckets
+        return buckets, bias
     dentry = _SAMPLE_DEVICE_CACHE.get(key)
     if dentry is not None and dentry[0] is circuit:
-        return dentry[1]
+        return dentry[1], bias
     dev = [
         ({k: jax.device_put(v) for k, v in tables.items()}, dims)
         for tables, dims in buckets
     ]
     _SAMPLE_DEVICE_CACHE[key] = (circuit, dev)
-    return dev
+    return dev, bias
 
 
 def _run_sample_bucket(tables, dims, x, Bp, P):
@@ -437,10 +467,16 @@ def evaluate_abs_sample_f32(
         x = _pad_to(_pad_to(param_vals.astype(jnp.uint8), P, 1), Bp, 0)
 
     total = None
-    for tables, dims in _prepared_sample_buckets(circuit, P):
+    buckets, bias = _prepared_sample_buckets(circuit, P)
+    for tables, dims in buckets:
         out = _run_sample_bucket(tables, dims, x, Bp, P)
         total = out if total is None else total + out
     mag = jnp.sqrt(total[:, 0] ** 2 + total[:, 1] ** 2)
+    if bias:
+        # Two-step rescale: each half stays a normal f32 (|bias| <= 200
+        # guaranteed by sample_eligible).
+        h = bias // 2
+        mag = mag * np.float32(2.0 ** h) * np.float32(2.0 ** (bias - h))
     return mag[:B]
 
 
