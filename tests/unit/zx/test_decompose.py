@@ -597,3 +597,53 @@ class TestPlannerStalePairFilter:
             tb = np.asarray(graph_to_tensor(g, vals=vals))
             ta = sum(np.asarray(graph_to_tensor(gg, vals=vals)) for gg in leaves)
             np.testing.assert_allclose(tb, ta, atol=1e-8)
+
+
+class TestNativePlannedEnumeration:
+    """The C++ leaf enumerator (zx_planned_enumerate) must agree with the
+    Python per-leaf loop graph-for-graph: same survivors, same reduced
+    state, same scalars."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_python_loop(self, seed, monkeypatch):
+        from tsim_tpu.compile.stabrank import _graph_state_key
+        from tsim_tpu.zx import native_simplify as ns
+        from tsim_tpu.zx.decompose import planned_magic_decomposition
+
+        if ns._load() is None:
+            pytest.skip("native engine unavailable")
+
+        rng = np.random.default_rng(1000 + seed)
+        g = ZXGraph()
+        vs = _random_clifford_core(rng, g, n=6)
+        for v in vs[:4]:
+            g.set_phase(
+                v,
+                [Fraction(1, 4), Fraction(3, 4), Fraction(5, 4)][
+                    int(rng.integers(3))
+                ],
+            )
+        for k in range(3):
+            hub = g.add_vertex(Z)
+            leaf = g.add_vertex(
+                Z, phase=[Fraction(1, 4), Fraction(7, 4)][int(rng.integers(2))]
+            )
+            if rng.random() < 0.5:
+                g.set_params(leaf, {PARAMS[int(rng.integers(2))]})
+            g.add_edge((hub, leaf), HADAMARD)
+            for t in rng.permutation(vs)[: 2 + (k % 2)]:
+                g.add_edge((hub, int(t)), HADAMARD)
+        _add_boundaries(rng, g, vs)
+
+        native = planned_magic_decomposition(g.copy(), max_rank=14, restarts=8)
+        monkeypatch.setattr(
+            ns, "native_planned_enumerate", lambda *a, **k: None
+        )
+        python = planned_magic_decomposition(g.copy(), max_rank=14, restarts=8)
+        if native is None or python is None:
+            assert native is None and python is None
+            pytest.skip("planner declined")
+        assert len(native) == len(python)
+        kn = sorted(str(_graph_state_key(x)) for x in native)
+        kp = sorted(str(_graph_state_key(x)) for x in python)
+        assert kn == kp

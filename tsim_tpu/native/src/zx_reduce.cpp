@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <iterator>
 #include <map>
 #include <utility>
 #include <vector>
@@ -1170,6 +1171,49 @@ static void encode(const Graph& g, Writer& w) {
   }
 }
 
+// -------------------------------------------- planned pair-projector leaves
+
+// One branch (c = 0 equality / 1 anti-equality) of the gadget-pair
+// parity-projector split; exact port of zx/decompose.py::apply_pair_projector
+// (see there for the derivation; both branches sum to the original diagram).
+static void apply_pair_projector(Graph& g, int l1, int h1, int l2, int h2,
+                                 int c) {
+  if (!g.alive(l1) || !g.alive(h1) || !g.alive(l2) || !g.alive(h2)) {
+    fail(20);
+    return;
+  }
+  Frac a1 = g.vs[l1].ph;
+  Frac a2 = g.vs[l2].ph;
+  PSet P1 = g.vs[l1].par;
+  PSet Pd = pset_xor(P1, g.vs[l2].par);
+  PSet Qd = pset_xor(g.vs[h1].par, g.vs[h2].par);
+  std::vector<int> t1, t2;
+  for (const auto& [n, t] : g.vs[h1].adj)
+    if (n != l1) t1.push_back(n);
+  for (const auto& [n, t] : g.vs[h2].adj)
+    if (n != l2) t2.push_back(n);
+  std::sort(t1.begin(), t1.end());
+  std::sort(t2.begin(), t2.end());
+  std::vector<int> D;
+  std::set_symmetric_difference(t1.begin(), t1.end(), t2.begin(), t2.end(),
+                                std::back_inserter(D));
+  double qrow = (g.vs[h1].r + g.vs[h2].r) / 2.0;
+  double qq = g.vs[h1].q - 0.5;
+  g.remove_vertex(l1);
+  g.remove_vertex(h1);
+  g.vs[l2].ph =
+      frac_mod2(c == 0 ? frac_add(a1, a2) : frac_add(a2, frac_neg_mod2(a1)));
+  g.vs[l2].par = Pd;
+  int hub = g.add_vertex(ZV, qq, qrow, Frac{c, 1});
+  g.vs[hub].par = Qd;
+  for (int t : D) g.add_edge(hub, t, HADAMARD);
+  g.sc.add_power((i64)D.size() - (i64)t1.size() - 1);
+  if (c) {
+    g.sc.add_phase(a1);
+    if (!P1.empty()) g.sc.add_pi_var(P1);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -1193,6 +1237,52 @@ int zx_full_reduce(const i64* in, i64 in_len, const double* inf, i64 inf_len,
   std::memcpy(*out, w.ints.data(), w.ints.size() * sizeof(i64));
   *outf_len = (i64)w.floats.size();
   *outf = (double*)std::malloc(w.floats.size() * sizeof(double));
+  std::memcpy(*outf, w.floats.data(), w.floats.size() * sizeof(double));
+  return 0;
+}
+
+// Enumerate the planned pair-projector leaves of the serialized graph: for
+// each row of ``assigns`` (n_assigns x n_pairs branch bits), copy the graph,
+// apply every pair's projector branch, full_reduce, and keep nonzero
+// survivors. Output ints = [count] followed by the survivors' serialized
+// streams back to back (same per-graph format as zx_full_reduce). This is
+// the compile-time hot loop of the planned decomposition: the Python
+// per-leaf loop costs ~13 ms/leaf in graph copies and Python<->native
+// round-trips, ~200 s on the grown-cultivation full plug's 16k leaves.
+int zx_planned_enumerate(const i64* in, i64 in_len, const double* inf,
+                         i64 inf_len, int do_shake, const i64* pair_ids,
+                         i64 n_pairs, const i64* assigns, i64 n_assigns,
+                         i64** out, i64* out_len, double** outf,
+                         i64* outf_len) {
+  g_err = 0;
+  Reader r{in, in + in_len, inf, inf + inf_len};
+  Graph base = decode(r);
+  if (g_err) return g_err;
+  Writer w;
+  w.put(0);  // survivor count, patched below
+  i64 count = 0;
+  for (i64 a = 0; a < n_assigns; ++a) {
+    Graph g = base;
+    const i64* cs = assigns + a * n_pairs;
+    for (i64 k = 0; k < n_pairs; ++k) {
+      const i64* p = pair_ids + 4 * k;
+      apply_pair_projector(g, (int)p[0], (int)p[1], (int)p[2], (int)p[3],
+                           (int)cs[k]);
+      if (g_err) return g_err;
+    }
+    full_reduce(g, do_shake != 0);
+    if (g_err) return g_err;
+    if (g.sc.is_zero) continue;
+    ++count;
+    encode(g, w);
+  }
+  w.ints[0] = count;
+  *out_len = (i64)w.ints.size();
+  *out = (i64*)std::malloc(w.ints.size() * sizeof(i64));
+  std::memcpy(*out, w.ints.data(), w.ints.size() * sizeof(i64));
+  *outf_len = (i64)w.floats.size();
+  *outf = (double*)std::malloc(std::max<size_t>(w.floats.size(), 1) *
+                               sizeof(double));
   std::memcpy(*outf, w.floats.data(), w.floats.size() * sizeof(double));
   return 0;
 }

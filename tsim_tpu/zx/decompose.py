@@ -1268,13 +1268,28 @@ def planned_magic_decomposition(
         tuple(sum(bits[k] for k in e) & 1 for e in exprs)
         for bits in itertools.product((0, 1), repeat=rank)
     ]
+    pair_vertex_ids = [
+        (gadgets[i][0], gadgets[i][1], gadgets[j][0], gadgets[j][1])
+        for (i, j, _) in pairs
+    ]
+    # Native leaf enumeration: decode the work graph once, apply every
+    # branch's projectors + full_reduce in C++, ship back only the nonzero
+    # survivors (the Python per-leaf loop costs ~13 ms/leaf in graph
+    # copies and Python<->native round-trips — ~200 s on the grown
+    # cultivation full plug's 16k leaves).
+    from .simplify import _SHAKE_ENABLED
+    from .native_simplify import native_planned_enumerate
+
+    leaves = native_planned_enumerate(
+        work, pair_vertex_ids, assigns, _SHAKE_ENABLED
+    )
+    if leaves is not None:
+        return leaves
     leaves = []
     for cs in assigns:
         gg = work.copy()
-        for (i, j, _), c in zip(pairs, cs):
-            apply_pair_projector(
-                gg, gadgets[i][0], gadgets[i][1], gadgets[j][0], gadgets[j][1], c
-            )
+        for (l1, h1, l2, h2), c in zip(pair_vertex_ids, cs):
+            apply_pair_projector(gg, l1, h1, l2, h2, c)
         full_reduce(gg, paramSafe=True)
         if gg.scalar.is_zero:
             continue

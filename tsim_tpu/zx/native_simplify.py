@@ -51,6 +51,22 @@ def _load():
         ]
         lib.zx_free_i64.argtypes = [ctypes.POINTER(ctypes.c_int64)]
         lib.zx_free_f64.argtypes = [ctypes.POINTER(ctypes.c_double)]
+        lib.zx_planned_enumerate.restype = ctypes.c_int
+        lib.zx_planned_enumerate.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -278,6 +294,77 @@ def decode_graph(dec: _Decoder, g: ZXGraph) -> None:
     g._inputs = inputs
     g._outputs = outputs
     g._bset = frozenset(inputs) | frozenset(outputs)
+
+
+def native_planned_enumerate(
+    g: ZXGraph, pair_vertex_ids, assigns, shake: bool
+) -> list[ZXGraph] | None:
+    """Enumerate planned pair-projector leaves natively.
+
+    ``pair_vertex_ids``: [(l1, h1, l2, h2), ...]; ``assigns``: iterable of
+    branch-bit tuples (one bit per pair). Returns the nonzero fully-reduced
+    leaves, or None when the native engine is unavailable/unsupported (the
+    caller falls back to the Python per-leaf loop).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    enc = _Encoder()
+    try:
+        encode_graph(g, enc)
+    except (TypeError, OverflowError):
+        return None
+    if not enc.ok:
+        return None
+    n = len(enc.ints)
+    nf = len(enc.floats)
+    in_i = (ctypes.c_int64 * n).from_buffer(enc.ints)
+    in_f = (ctypes.c_double * max(nf, 1)).from_buffer(
+        enc.floats if nf else array("d", [0.0])
+    )
+    pair_arr = array("q", [x for p in pair_vertex_ids for x in p])
+    asg_arr = array("q", [int(b) for row in assigns for b in row])
+    n_pairs = len(pair_vertex_ids)
+    n_assigns = len(asg_arr) // max(n_pairs, 1)
+    pairs_c = (ctypes.c_int64 * len(pair_arr)).from_buffer(pair_arr)
+    asg_c = (ctypes.c_int64 * max(len(asg_arr), 1)).from_buffer(
+        asg_arr if asg_arr else array("q", [0])
+    )
+    out_i = ctypes.POINTER(ctypes.c_int64)()
+    out_il = ctypes.c_int64()
+    out_f = ctypes.POINTER(ctypes.c_double)()
+    out_fl = ctypes.c_int64()
+    status = lib.zx_planned_enumerate(
+        ctypes.cast(in_i, ctypes.POINTER(ctypes.c_int64)),
+        n,
+        ctypes.cast(in_f, ctypes.POINTER(ctypes.c_double)),
+        nf,
+        1 if shake else 0,
+        ctypes.cast(pairs_c, ctypes.POINTER(ctypes.c_int64)),
+        n_pairs,
+        ctypes.cast(asg_c, ctypes.POINTER(ctypes.c_int64)),
+        n_assigns,
+        ctypes.byref(out_i),
+        ctypes.byref(out_il),
+        ctypes.byref(out_f),
+        ctypes.byref(out_fl),
+    )
+    if status != 0:
+        return None
+    try:
+        ints = out_i[: out_il.value]
+        floats = out_f[: out_fl.value]
+        dec = _Decoder(ints, floats, enc.names)
+        count = dec.next()
+        leaves = []
+        for _ in range(count):
+            gg = ZXGraph()
+            decode_graph(dec, gg)
+            leaves.append(gg)
+    finally:
+        lib.zx_free_i64(out_i)
+        lib.zx_free_f64(out_f)
+    return leaves
 
 
 def native_full_reduce(g: ZXGraph, shake: bool) -> bool:
