@@ -1287,6 +1287,284 @@ int zx_planned_enumerate(const i64* in, i64 in_len, const double* inf,
   return 0;
 }
 
+// ----------------------------------------------- min-rank matching planner
+//
+// Native core of zx/decompose.py::plan_projector_cover: a dependent-first
+// greedy matching over per-gadget constraint vectors followed by a seeded
+// 2-swap iterated local search with a validity-filter-aware cost (see the
+// Python docstring for the math). Vectors are fixed-width bitsets (w words
+// of 64 coordinates each); the Python wrapper packs them. Deterministic:
+// fixed xorshift seed, move-count budget.
+
+namespace {
+
+struct PlanCtx {
+  i64 n, w;
+  const uint64_t* umask;   // n x w
+  const uint64_t* lhmask;  // n x w
+  const uint64_t* dmask;   // n x n x w (0 for disallowed pairs)
+  const uint8_t* allowed;  // n x n
+  double drop_w;
+  std::vector<uint64_t> scratch;
+
+  const uint64_t* u(i64 i) const { return umask + i * w; }
+  const uint64_t* lh(i64 i) const { return lhmask + i * w; }
+  const uint64_t* d(i64 i, i64 j) const { return dmask + (i * n + j) * w; }
+  bool ok(i64 i, i64 j) const { return allowed[i * n + j] != 0; }
+};
+
+static inline void vxor(uint64_t* a, const uint64_t* b, i64 w) {
+  for (i64 k = 0; k < w; ++k) a[k] ^= b[k];
+}
+
+static inline void vor(uint64_t* a, const uint64_t* b, i64 w) {
+  for (i64 k = 0; k < w; ++k) a[k] |= b[k];
+}
+
+static inline bool vzero(const uint64_t* a, i64 w) {
+  for (i64 k = 0; k < w; ++k)
+    if (a[k]) return false;
+  return true;
+}
+
+// Lexicographic compare, most-significant word first (word w-1 highest).
+static inline int vcmp(const uint64_t* a, const uint64_t* b, i64 w) {
+  for (i64 k = w - 1; k >= 0; --k) {
+    if (a[k] != b[k]) return a[k] < b[k] ? -1 : 1;
+  }
+  return 0;
+}
+
+static inline int vpopcount(const uint64_t* a, i64 w) {
+  int c = 0;
+  for (i64 k = 0; k < w; ++k) c += __builtin_popcountll(a[k]);
+  return c;
+}
+
+// Reduce v in place against an echelon basis (rows descending, distinct
+// leading words); one pass suffices.
+static void vreduce(uint64_t* v, const std::vector<uint64_t>& basis, i64 nb,
+                    i64 w) {
+  std::vector<uint64_t> tmp((size_t)w);
+  for (i64 b = 0; b < nb; ++b) {
+    const uint64_t* row = basis.data() + b * w;
+    std::memcpy(tmp.data(), v, (size_t)w * 8);
+    vxor(tmp.data(), row, w);
+    if (vcmp(tmp.data(), v, w) < 0) std::memcpy(v, tmp.data(), (size_t)w * 8);
+  }
+}
+
+// Insert a (already fully reduced, nonzero) vector keeping descending order.
+static void vinsert(std::vector<uint64_t>& basis, i64& nb, const uint64_t* v,
+                    i64 w) {
+  basis.resize((size_t)(nb + 1) * w);
+  i64 pos = nb;
+  while (pos > 0 && vcmp(basis.data() + (pos - 1) * w, v, w) < 0) {
+    std::memcpy(basis.data() + pos * w, basis.data() + (pos - 1) * w,
+                (size_t)w * 8);
+    --pos;
+  }
+  std::memcpy(basis.data() + pos * w, v, (size_t)w * 8);
+  ++nb;
+}
+
+static double plan_cost(const PlanCtx& c, const std::vector<std::pair<i32, i32>>& pl) {
+  i64 w = c.w;
+  std::vector<uint64_t> lhall((size_t)w, 0), own((size_t)w), v((size_t)w),
+      t((size_t)w);
+  for (const auto& [i, j] : pl) {
+    vor(lhall.data(), c.lh(i), w);
+    vor(lhall.data(), c.lh(j), w);
+  }
+  std::vector<uint64_t> basis;
+  i64 nb = 0;
+  int r = 0, dropped = 0;
+  for (const auto& [i, j] : pl) {
+    std::memcpy(own.data(), c.lh(i), (size_t)w * 8);
+    vor(own.data(), c.lh(j), w);
+    bool drop = false;
+    const uint64_t* dm = c.d(i, j);
+    for (i64 k = 0; k < w; ++k) {
+      if (dm[k] & lhall[k] & ~own[k]) {
+        drop = true;
+        break;
+      }
+    }
+    if (drop) {
+      ++dropped;
+      continue;
+    }
+    std::memcpy(v.data(), c.u(i), (size_t)w * 8);
+    vxor(v.data(), c.u(j), w);
+    vreduce(v.data(), basis, nb, w);
+    if (!vzero(v.data(), w)) {
+      vinsert(basis, nb, v.data(), w);
+      ++r;
+    }
+  }
+  return r + c.drop_w * dropped +
+         0.5 * c.drop_w * (double)(c.n - 2 * (i64)pl.size());
+}
+
+struct XorShift {
+  uint64_t s;
+  explicit XorShift(uint64_t seed) : s(seed ? seed : 0x9E3779B97F4A7C15ull) {}
+  uint64_t next() {
+    s ^= s << 13;
+    s ^= s >> 7;
+    s ^= s << 17;
+    return s;
+  }
+  i64 below(i64 n) { return (i64)(next() % (uint64_t)n); }
+};
+
+}  // namespace
+
+// Plan the min-rank matching. pairs_out receives up to n/2 (i, j) index
+// pairs; returns the number of pairs written (or -1 on bad input).
+int zx_plan_cover(const uint64_t* umask, const uint64_t* lhmask,
+                  const uint64_t* dmask, const uint8_t* allowed, i64 n, i64 w,
+                  double drop_w, i64 budget, i64* pairs_out) {
+  if (n <= 1 || w <= 0) return 0;
+  PlanCtx c{n, w, umask, lhmask, dmask, allowed, drop_w, {}};
+
+  // All-gadget leaf/hub union for the greedy's dirty ordering.
+  std::vector<uint64_t> lhall((size_t)w, 0);
+  for (i64 i = 0; i < n; ++i) vor(lhall.data(), c.lh(i), w);
+
+  // Dependent-first greedy start.
+  std::vector<char> un((size_t)n, 1);
+  std::vector<uint64_t> basis;
+  i64 nb = 0;
+  std::vector<std::pair<i32, i32>> cur;
+  std::vector<uint64_t> v((size_t)w), own((size_t)w);
+  i64 remaining = n;
+  while (remaining > 1) {
+    int best_key = 1 << 30;
+    i32 bi = -1, bj = -1;
+    std::vector<uint64_t> bv((size_t)w);
+    for (i64 i = 0; i < n && best_key > 0; ++i) {
+      if (!un[i]) continue;
+      for (i64 j = i + 1; j < n; ++j) {
+        if (!un[j] || !c.ok(i, j)) continue;
+        std::memcpy(own.data(), c.lh(i), (size_t)w * 8);
+        vor(own.data(), c.lh(j), w);
+        int dirty = 0;
+        const uint64_t* dm = c.d(i, j);
+        for (i64 k = 0; k < w; ++k) {
+          if (dm[k] & lhall[k] & ~own[k]) {
+            dirty = 1;
+            break;
+          }
+        }
+        std::memcpy(v.data(), c.u(i), (size_t)w * 8);
+        vxor(v.data(), c.u(j), w);
+        vreduce(v.data(), basis, nb, w);
+        int indep = vzero(v.data(), w) ? 0 : 1;
+        int key = dirty * (1 << 20) + indep * (1 << 10) + vpopcount(v.data(), w);
+        if (key < best_key) {
+          best_key = key;
+          bi = (i32)i;
+          bj = (i32)j;
+          std::memcpy(bv.data(), v.data(), (size_t)w * 8);
+          if (key == 0) break;
+        }
+      }
+    }
+    if (bi < 0) break;
+    if (!vzero(bv.data(), w)) vinsert(basis, nb, bv.data(), w);
+    cur.emplace_back(bi, bj);
+    un[bi] = un[bj] = 0;
+    remaining -= 2;
+  }
+
+  // Iterated local search: 2-swaps accepting cost-non-increasing moves,
+  // kicks from the best on stalls.
+  i64 m = (i64)cur.size();
+  double cur_cost = plan_cost(c, cur);
+  std::vector<std::pair<i32, i32>> best = cur;
+  double best_cost = cur_cost;
+  XorShift rnd(0x51AB51AB51ABull);
+  i64 stall = budget / 8 > 1024 ? budget / 8 : 1024;
+  i64 since = 0;
+  auto norm = [](i32 a, i32 b) {
+    return a < b ? std::pair<i32, i32>{a, b} : std::pair<i32, i32>{b, a};
+  };
+  while (budget > 0 && m >= 2) {
+    --budget;
+    ++since;
+    if (since > stall) {
+      cur = best;
+      for (int t3 = 0; t3 < 3; ++t3) {
+        i64 a = rnd.below(m), b = rnd.below(m - 1);
+        if (b >= a) ++b;
+        auto [i, j] = cur[a];
+        auto [k, l] = cur[b];
+        std::pair<i32, i32> o1, o2;
+        bool have = false;
+        if (c.ok(std::min(i, k), std::max(i, k)) &&
+            c.ok(std::min(j, l), std::max(j, l))) {
+          o1 = norm(i, k);
+          o2 = norm(j, l);
+          have = true;
+        } else if (c.ok(std::min(i, l), std::max(i, l)) &&
+                   c.ok(std::min(j, k), std::max(j, k))) {
+          o1 = norm(i, l);
+          o2 = norm(j, k);
+          have = true;
+        }
+        if (have) {
+          cur[a] = o1;
+          cur[b] = o2;
+        }
+      }
+      cur_cost = plan_cost(c, cur);
+      since = 0;
+      continue;
+    }
+    i64 a = rnd.below(m), b = rnd.below(m - 1);
+    if (b >= a) ++b;
+    auto [i, j] = cur[a];
+    auto [k, l] = cur[b];
+    std::pair<i32, i32> opts[2][2];
+    int n_opts = 0;
+    if (c.ok(std::min(i, k), std::max(i, k)) &&
+        c.ok(std::min(j, l), std::max(j, l))) {
+      opts[n_opts][0] = norm(i, k);
+      opts[n_opts][1] = norm(j, l);
+      ++n_opts;
+    }
+    if (c.ok(std::min(i, l), std::max(i, l)) &&
+        c.ok(std::min(j, k), std::max(j, k))) {
+      opts[n_opts][0] = norm(i, l);
+      opts[n_opts][1] = norm(j, k);
+      ++n_opts;
+    }
+    if (!n_opts) continue;
+    int pick = n_opts == 1 ? 0 : (int)rnd.below(2);
+    auto old_a = cur[a], old_b = cur[b];
+    cur[a] = opts[pick][0];
+    cur[b] = opts[pick][1];
+    double cc = plan_cost(c, cur);
+    if (cc <= cur_cost) {
+      cur_cost = cc;
+      if (cc < best_cost) {
+        best = cur;
+        best_cost = cc;
+        since = 0;
+      }
+    } else {
+      cur[a] = old_a;
+      cur[b] = old_b;
+    }
+  }
+  for (i64 k = 0; k < (i64)best.size(); ++k) {
+    pairs_out[2 * k] = best[k].first;
+    pairs_out[2 * k + 1] = best[k].second;
+  }
+  return (int)best.size();
+}
+
 void zx_free_i64(i64* p) { std::free(p); }
 void zx_free_f64(double* p) { std::free(p); }
 

@@ -1025,6 +1025,26 @@ def plan_projector_cover(
                 m |= 1 << coord_id[c]
         dmask[(i, j)] = m
 
+    drop_w = _PLAN_DROP_PENALTY
+    # 8n^2 scaling keeps recursion-leaf replans (n ~ 8-34, called per
+    # planned leaf) at milliseconds while the big top-level rungs (n >= 58)
+    # get the full restarts*n moves the heavy plateaus need.
+    budget = min(restarts * n, 8 * n * n)
+
+    # Native search: the greedy + iterated local search below, ported into
+    # the C++ engine (zx_plan_cover) over fixed-width bitsets — plan calls
+    # drop from seconds to milliseconds on the heavy 58-gadget rungs,
+    # which dominate compile time once enumeration is native too. Its
+    # deterministic RNG differs from the Python fallback's, so plans (and
+    # term counts) are pinned against the native path.
+    from .native_simplify import native_plan_cover
+
+    native_pairs = native_plan_cover(
+        umask, lhmask, dmask, allowed_set, drop_w, budget
+    )
+    if native_pairs is not None:
+        return _finish_plan_cover(native_pairs, gadgets, orig_vec, coord_id)
+
     def _reduce(v: int, basis: list) -> int:
         # basis kept in descending order with distinct msbs (echelon), so
         # one pass fully reduces.
@@ -1033,8 +1053,6 @@ def plan_projector_cover(
             if w < v:
                 v = w
         return v
-
-    drop_w = _PLAN_DROP_PENALTY
 
     def _cost(pair_list) -> float:
         # rank of filter-surviving pairs, plus penalties for pairs the
@@ -1109,10 +1127,6 @@ def plan_projector_cover(
         return opts
 
     rnd = random.Random(0x51AB)
-    # 8n^2 scaling keeps recursion-leaf replans (n ~ 8-34, called per
-    # planned leaf) at milliseconds while the big top-level rungs (n >= 58)
-    # get the full restarts*n moves the heavy plateaus need.
-    budget = min(restarts * n, 8 * n * n)
     m = len(cur)
     cur_cost = _cost(cur)
     best_pairs, best_cost = list(cur), cur_cost
@@ -1154,15 +1168,19 @@ def plan_projector_cover(
                 since = 0
         else:
             cur[a], cur[b] = old_a, old_b
-    # Returned constraint vectors use the integer coordinate ids (the
-    # consistency eliminator needs orderable coordinates); the validity
-    # filter below uses the original-coordinate vectors, which distinguish
-    # vertex ids from ("param", name) tuples.
+    return _finish_plan_cover(best_pairs, gadgets, orig_vec, coord_id)
+
+
+def _finish_plan_cover(best_pairs, gadgets, orig_vec, coord_id):
+    """Shared tail of plan_projector_cover: integer-coordinate constraint
+    vectors (the consistency eliminator needs orderable coordinates) plus
+    the validity filter — drop pairs whose D references another chosen
+    pair's removed vertices (orig_vec distinguishes vertex ids from
+    ("param", name) tuples)."""
     chosen = [
         (i, j, frozenset(coord_id[c] for c in orig_vec[(i, j)]))
         for (i, j) in best_pairs
     ]
-    # Drop pairs whose D references another chosen pair's removed vertices.
     lh = set()
     for (i, j, _) in chosen:
         lh |= {gadgets[i][0], gadgets[i][1], gadgets[j][0], gadgets[j][1]}

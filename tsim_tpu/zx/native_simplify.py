@@ -51,6 +51,18 @@ def _load():
         ]
         lib.zx_free_i64.argtypes = [ctypes.POINTER(ctypes.c_int64)]
         lib.zx_free_f64.argtypes = [ctypes.POINTER(ctypes.c_double)]
+        lib.zx_plan_cover.restype = ctypes.c_int
+        lib.zx_plan_cover.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.zx_planned_enumerate.restype = ctypes.c_int
         lib.zx_planned_enumerate.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -294,6 +306,81 @@ def decode_graph(dec: _Decoder, g: ZXGraph) -> None:
     g._inputs = inputs
     g._outputs = outputs
     g._bset = frozenset(inputs) | frozenset(outputs)
+
+
+def native_plan_cover(
+    umask: list[int],
+    lhmask: list[int],
+    dmask: dict,
+    allowed_set,
+    drop_w: float,
+    budget: int,
+) -> list[tuple[int, int]] | None:
+    """Run the min-rank matching planner's greedy + iterated local search
+    natively (zx_plan_cover). Inputs are the planner's int-bitmask gadget
+    vectors; returns the chosen (i, j) index pairs, or None when the
+    native engine is unavailable (the caller runs the Python search).
+
+    The native search uses its own deterministic RNG, so the plan (and
+    hence term counts) can differ from the pure-Python fallback's — both
+    are valid matchings; regression pins run against the native path.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(umask)
+    n_coords = max(
+        (x.bit_length() for x in umask + lhmask), default=1
+    )
+    w = max(1, (n_coords + 63) // 64)
+    mask64 = (1 << 64) - 1
+
+    def pack_into(arr, base, x):
+        for k in range(w):
+            arr[base + k] = (x >> (64 * k)) & mask64
+
+    um = array("Q", bytes(8 * n * w))
+    lm = array("Q", bytes(8 * n * w))
+    for i in range(n):
+        pack_into(um, i * w, umask[i])
+        pack_into(lm, i * w, lhmask[i])
+    dm = array("Q", bytes(8 * n * n * w))
+    al = array("B", bytes(n * n))
+    for (i, j) in allowed_set:
+        al[i * n + j] = 1
+        al[j * n + i] = 1
+        pack_into(dm, (i * n + j) * w, dmask[(i, j)])
+        pack_into(dm, (j * n + i) * w, dmask[(i, j)])
+    out = array("q", bytes(8 * n))
+    got = lib.zx_plan_cover(
+        ctypes.cast(
+            (ctypes.c_uint64 * len(um)).from_buffer(um),
+            ctypes.POINTER(ctypes.c_uint64),
+        ),
+        ctypes.cast(
+            (ctypes.c_uint64 * len(lm)).from_buffer(lm),
+            ctypes.POINTER(ctypes.c_uint64),
+        ),
+        ctypes.cast(
+            (ctypes.c_uint64 * len(dm)).from_buffer(dm),
+            ctypes.POINTER(ctypes.c_uint64),
+        ),
+        ctypes.cast(
+            (ctypes.c_uint8 * len(al)).from_buffer(al),
+            ctypes.POINTER(ctypes.c_uint8),
+        ),
+        n,
+        w,
+        drop_w,
+        budget,
+        ctypes.cast(
+            (ctypes.c_int64 * len(out)).from_buffer(out),
+            ctypes.POINTER(ctypes.c_int64),
+        ),
+    )
+    if got < 0:
+        return None
+    return [(int(out[2 * k]), int(out[2 * k + 1])) for k in range(got)]
 
 
 def native_planned_enumerate(
