@@ -67,3 +67,18 @@ def test_cultivation_term_count_budget():
     ]
     assert max(counts) <= 128, counts
     assert sum(counts) < 1200, counts
+
+
+def test_cultivation_2check_term_count_pin():
+    """2-check cultivation pin (seed 0): largest rung <=320, total <=1100
+    (measured with the native planner: 307 / 1048 — far below the
+    reference's published 1024-term workload and the old greedy planner's
+    2048)."""
+    sampler = cultivation_d3(p=0.001, checks=2).compile_detector_sampler(seed=0)
+    counts = [
+        csg.num_graphs
+        for comp in sampler._program.components
+        for csg in comp.compiled_scalar_graphs
+    ]
+    assert max(counts) <= 320, counts
+    assert sum(counts) <= 1100, counts
