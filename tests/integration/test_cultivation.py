@@ -11,6 +11,8 @@ import numpy as np
 from tsim_tpu.external.vec_sim.vec_sampler import VecSampler
 from tsim_tpu.models.cultivation import cultivation_d3, cultivation_logical
 
+from ..helpers import requires_native_planner
+
 OBS_MEAN = (1 - 1 / np.sqrt(2)) / 2  # 0.1464...
 
 
@@ -69,6 +71,7 @@ def test_cultivation_term_count_budget():
     assert sum(counts) < 1200, counts
 
 
+@requires_native_planner()
 def test_cultivation_2check_term_count_pin():
     """2-check cultivation pin (seed 0): largest rung <=320, total <=1100
     (measured with the native planner: 307 / 1048 — far below the

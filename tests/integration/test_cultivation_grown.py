@@ -31,6 +31,8 @@ from tsim_tpu.models.cultivation import (
 )
 from tsim_tpu.utils.encoder import SteaneEncoder
 
+from ..helpers import requires_native_planner
+
 OBS_MEAN = (1 - 1 / np.sqrt(2)) / 2  # 0.1464...
 
 
@@ -120,6 +122,7 @@ def test_grown_noiseless_physics(grown_sampler):
     assert abs(obs.mean() - OBS_MEAN) < 5 * sigma
 
 
+@requires_native_planner()
 def test_grown_term_count_pin(grown_sampler):
     """Planner regression pin (seed 0): the checks=1 grown ladder compiles
     to <=64 terms on its largest rung and <=157 total (judge-verified

@@ -10,6 +10,8 @@ import numpy as np
 
 from tsim_tpu.models.distillation import distillation_d3, distillation_d5
 
+from ..helpers import requires_native_planner
+
 
 def _rung_counts(sampler):
     return [
@@ -28,6 +30,7 @@ def test_d5_compiles_and_noiseless_detectors_are_silent():
     assert det.sum() == 0
 
 
+@requires_native_planner()
 def test_d3_term_count_pin():
     """Planner regression pin (seed 0): the d=3 distillation benchmark's
     largest rung stays at <=108 terms — below the reference's published
@@ -40,6 +43,7 @@ def test_d3_term_count_pin():
     assert sum(counts) <= 283, counts
 
 
+@requires_native_planner()
 def test_d5_term_count_pin():
     """Planner regression pin (seed 0): d=5 distillation largest rung
     <=142 (reference panel 2 publishes 147)."""

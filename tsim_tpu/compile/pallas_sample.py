@@ -356,11 +356,14 @@ def sample_eligible(circuit: CompiledScalarGraphs) -> bool:
     # 0-clamped max reads the whole scale as spread.
     spread = int(p2.max() - p2.min()) if p2.size else 0
     bias = int(p2.max()) if p2.size else 0
-    # Positive bias multiplies back INTO the result: past ~2^110 the
-    # rescaled magnitude overflows f32. Negative bias only risks
-    # underflow-to-zero of values the exact path's f32 output would also
-    # flush, so it gets the full two-step rescale reach.
-    return t1 + 2 * t4 + spread <= 110 and -200 <= bias <= 110
+    # Positive bias multiplies back INTO the result after the sum is
+    # squared, so it consumes the same exponent budget as the product
+    # terms: the rescaled magnitude reaches 2^(t1+2t4+bias), and values
+    # below ~2^(bias-63) flush to zero inside total**2. Bound the joint
+    # budget. Negative bias only risks underflow-to-zero of values the
+    # exact path's f32 output would also flush, so it gets the full
+    # two-step rescale reach.
+    return t1 + 2 * t4 + spread + max(bias, 0) <= 110 and bias >= -200
 
 
 # ------------------------------------------------------------- entry point

@@ -9,6 +9,7 @@ a single device_get after an on-device concatenation).
 
 from __future__ import annotations
 
+import dataclasses
 import warnings
 from math import ceil
 from typing import TYPE_CHECKING, Literal
@@ -22,6 +23,7 @@ from .compile.pallas_sample import (
     evaluate_abs_sample,
     norm_deviation_tolerance,
 )
+from .compile import aot_cache
 from .compile.pipeline import compile_program
 from .core.graph_prep import prepare_graph
 from .core.types import CompiledComponent, CompiledProgram
@@ -530,6 +532,41 @@ def _resolve_mesh(mesh):
     return mesh
 
 
+@dataclasses.dataclass(frozen=True)
+class _DirectScatter:
+    """Precomputed layout for scattering direct (Tanner-graph) output bits.
+
+    ``fastpath`` marks the common low-noise shape where the direct bits are
+    a contiguous prefix view of the f-sample array: column ``j`` of the
+    f-sample IS output ``j`` with no flip, frozen constant, or permutation
+    in between, so the uint8 buffer can be reinterpreted as bools with no
+    gather at all (counterpart: reference sampler.py:219-236 zero-copy path,
+    redesigned as an explicit plan object).
+    """
+
+    fastpath: bool
+    scatter_cols: np.ndarray  # global output index of each direct entry
+    out_mask: np.ndarray  # (num_outputs,) True where the output is direct
+    det_mask: np.ndarray  # out_mask restricted to the detector prefix
+
+
+def _plan_direct_scatter(
+    *, f_cols, flips, const, reindex, order, num_outputs, num_detectors
+) -> _DirectScatter:
+    n = len(f_cols)
+    prefix_view = n > 0 and np.array_equal(f_cols, np.arange(n))
+    untouched = reindex is None and not (flips.any() or const.any())
+    cols = np.asarray(order[:n], dtype=np.int32)
+    mask = np.zeros(num_outputs, dtype=np.bool_)
+    mask[cols] = True
+    return _DirectScatter(
+        fastpath=prefix_view and untouched,
+        scatter_cols=cols,
+        out_mask=mask,
+        det_mask=mask[:num_detectors].copy(),
+    )
+
+
 class _CompiledSamplerBase:
     """Shared compile-and-sample machinery.
 
@@ -592,16 +629,46 @@ class _CompiledSamplerBase:
 
         import time as _time
 
+        # AOT compile cache: compilation is a deterministic function of the
+        # circuit text + flags (seed-independent), so identical circuits
+        # reuse the compiled pytrees (in-process always; across processes
+        # when TSIM_TPU_COMPILE_CACHE_DIR is set).
+        aot_key = aot_cache.cache_key(
+            str(circuit._stim_circ),
+            sample_detectors=sample_detectors,
+            mode=mode,
+            strategy=strategy,
+        )
+        cached = aot_cache.fetch(aot_key)
         t0 = _time.perf_counter()
-        prepared = prepare_graph(circuit, sample_detectors=sample_detectors)
-        t1 = _time.perf_counter()
-        self._program = compile_program(prepared, mode=mode, strategy=strategy)
-        t2 = _time.perf_counter()
+        if cached is not None:
+            self._program = cached.program
+            channel_probs = cached.channel_probs
+            error_transform = cached.error_transform
+            num_detectors = cached.num_detectors
+            t1 = t2 = t0
+        else:
+            prepared = prepare_graph(circuit, sample_detectors=sample_detectors)
+            t1 = _time.perf_counter()
+            self._program = compile_program(prepared, mode=mode, strategy=strategy)
+            t2 = _time.perf_counter()
+            channel_probs = prepared.channel_probs
+            error_transform = prepared.error_transform
+            num_detectors = prepared.num_detectors
+            aot_cache.store(
+                aot_key,
+                aot_cache.CompiledEntry(
+                    program=self._program,
+                    channel_probs=channel_probs,
+                    error_transform=error_transform,
+                    num_detectors=num_detectors,
+                ),
+            )
 
         channel_seed = int(np.random.default_rng(seed).integers(0, 2**30))
         self._channel_sampler = ChannelSampler(
-            channel_probs=prepared.channel_probs,
-            error_transform=prepared.error_transform,
+            channel_probs=channel_probs,
+            error_transform=error_transform,
             seed=channel_seed,
         )
         # Per-phase compile timing (seconds), a la the reference's
@@ -615,7 +682,7 @@ class _CompiledSamplerBase:
         self._device_channels = DeviceChannelSampler(self._channel_sampler)
 
         self.circuit = circuit
-        self._num_detectors = prepared.num_detectors
+        self._num_detectors = num_detectors
         self._sample_detectors = sample_detectors
         self._native_frame = None
         self._native_frame_seed = int(
@@ -633,45 +700,58 @@ class _CompiledSamplerBase:
         self._direct_reindex = (
             np.asarray(prog.output_reindex) if prog.output_reindex is not None else None
         )
-        n_direct = len(self._direct_f_indices)
-        self._direct_zero_copy = (
-            n_direct > 0
-            and self._direct_reindex is None
-            and not self._direct_flips.any()
-            and not self._direct_const_mask.any()
-            and np.array_equal(self._direct_f_indices, np.arange(n_direct))
+        self._direct = _plan_direct_scatter(
+            f_cols=self._direct_f_indices,
+            flips=self._direct_flips,
+            const=self._direct_const_mask,
+            reindex=self._direct_reindex,
+            order=prog.output_order,
+            num_outputs=prog.num_outputs,
+            num_detectors=self._num_detectors,
         )
-        self._direct_global_indices = np.asarray(
-            prog.output_order[:n_direct], dtype=np.int32
-        )
-        self._direct_output_mask = np.zeros(prog.num_outputs, dtype=np.bool_)
-        if n_direct > 0:
-            self._direct_output_mask[self._direct_global_indices] = True
-        self._direct_detector_mask = self._direct_output_mask[: self._num_detectors].copy()
+
+    # Back-compat aliases for the plan fields (used by tests / graft entry).
+    @property
+    def _direct_zero_copy(self) -> bool:
+        return self._direct.fastpath
+
+    @property
+    def _direct_output_mask(self) -> np.ndarray:
+        return self._direct.out_mask
+
+    @property
+    def _direct_detector_mask(self) -> np.ndarray:
+        return self._direct.det_mask
 
     # ---------------------------------------------------------------- direct
     def _compute_direct_outputs(self, f_params_np: np.ndarray) -> np.ndarray:
+        """Materialize the direct (Tanner-graph) bits of each output row.
+
+        Host-side numpy; follows the scatter plan built at compile time
+        (counterpart: the reference's direct fast path, sampler.py:219-261)."""
         batch = f_params_np.shape[0]
-        num_outputs = self._program.num_outputs
-        n_direct = len(self._direct_f_indices)
-        if n_direct == 0:
-            return np.zeros((batch, num_outputs), dtype=np.bool_)
-        if self._direct_zero_copy and n_direct == num_outputs:
-            return f_params_np[:, :n_direct].view(np.bool_).copy()
-        if self._direct_zero_copy:
-            raw = f_params_np[:, :n_direct].view(np.bool_)
+        plan = self._direct
+        width = self._program.num_outputs
+        n = len(self._direct_f_indices)
+        if n == 0:
+            return np.zeros((batch, width), dtype=np.bool_)
+        if plan.fastpath:
+            # Prefix view: column j of the f-sample IS direct entry j.
+            bits = f_params_np[:, :n].view(np.bool_)
+            if n == width:
+                return bits.copy()
         elif f_params_np.shape[1] == 0:
-            raw = np.broadcast_to(self._direct_flips, (batch, n_direct)).copy()
+            bits = np.broadcast_to(self._direct_flips, (batch, n)).copy()
         else:
-            raw = (
-                f_params_np[:, self._direct_f_indices] ^ self._direct_flips
-            ).view(np.bool_)
-        if self._direct_const_mask is not None and self._direct_const_mask.any():
-            raw = raw.copy()
-            raw[:, self._direct_const_mask] = self._direct_flips[self._direct_const_mask]
-        out = np.zeros((batch, num_outputs), dtype=np.bool_)
-        out[:, self._direct_global_indices] = raw
-        return out
+            gathered = f_params_np[:, self._direct_f_indices]
+            bits = (gathered ^ self._direct_flips).view(np.bool_)
+        frozen = self._direct_const_mask
+        if frozen is not None and frozen.any():
+            bits = np.array(bits)
+            bits[:, frozen] = self._direct_flips[frozen]
+        full = np.zeros((batch, width), dtype=np.bool_)
+        full[:, plan.scatter_cols] = bits
+        return full
 
     def _compute_reference_sample(self) -> np.ndarray:
         num_f = self._channel_sampler.signature_matrix.shape[1]
@@ -888,10 +968,9 @@ class _CompiledSamplerBase:
         reference = self._compute_reference_sample() if compute_reference else None
 
         result = np.zeros((shots, n_out), dtype=np.bool_)
-        was_discarded = np.zeros(shots, dtype=np.bool_)
+        dropped = np.zeros(shots, dtype=np.bool_)
         survivor_f: list[np.ndarray] = []
         survivor_idx: list[int] = []
-        shot_idx = 0
 
         # Bounded async pipeline: dispatches enqueue and start their tunnel
         # d2h on a fetch-pool thread immediately (several transfers in
@@ -937,25 +1016,32 @@ class _CompiledSamplerBase:
                 survivor_f = []
                 survivor_idx = []
 
-        try:
-            while shot_idx < shots:
-                chunk = min(batch_size, shots - shot_idx)
-                f_params_np = self._channel_sampler.sample(chunk)
-                direct_full = self._compute_direct_outputs(f_params_np)
-                det_cols = direct_full[:, : self._num_detectors]
-                if xor_detector_ref and reference is not None:
-                    det_cols = det_cols ^ reference[: self._num_detectors]
-                discarded = (det_cols & postselect_direct).any(axis=1)
+        nd = self._num_detectors
+        # The prefilter only reads masked columns, and XOR distributes over
+        # the mask ((a ^ r) & m == (a & m) ^ (r & m)), so the reference row
+        # folds into one precomputed masked pattern instead of a per-chunk
+        # XOR over the whole detector block.
+        masked_ref = None
+        if xor_detector_ref and reference is not None:
+            masked_ref = reference[:nd] & postselect_direct
 
-                result[shot_idx : shot_idx + chunk, : self._num_detectors] = direct_full[
-                    :, : self._num_detectors
-                ]
-                was_discarded[shot_idx : shot_idx + chunk] = discarded
-                survivors = np.flatnonzero(~discarded)
-                if survivors.size:
-                    survivor_f.extend(f_params_np[survivors])
-                    survivor_idx.extend((shot_idx + survivors).tolist())
-                shot_idx += chunk
+        try:
+            taken = 0
+            while taken < shots:
+                want = min(batch_size, shots - taken)
+                f_chunk = self._channel_sampler.sample(want)
+                fast_bits = self._compute_direct_outputs(f_chunk)[:, :nd]
+                result[taken : taken + want, :nd] = fast_bits
+                sel = fast_bits & postselect_direct
+                if masked_ref is not None:
+                    sel ^= masked_ref
+                keep = ~sel.any(axis=1)
+                dropped[taken : taken + want] = ~keep
+                kept_rows = np.flatnonzero(keep)
+                if kept_rows.size:
+                    survivor_f.extend(f_chunk[kept_rows])
+                    survivor_idx.extend((taken + kept_rows).tolist())
+                taken += want
                 _flush()
             _flush(final=True)
             while pending:
@@ -964,17 +1050,14 @@ class _CompiledSamplerBase:
             fetch_pool.shutdown(wait=False, cancel_futures=True)
 
         if xor_detector_ref and reference is not None:
-            det_ref = reference[: self._num_detectors]
-            surv = ~was_discarded
-            result[surv, : self._num_detectors] ^= det_ref
-            result[was_discarded, : self._num_detectors] ^= (
-                det_ref & self._direct_detector_mask
-            )
+            det_ref = reference[:nd]
+            result[~dropped, :nd] ^= det_ref
+            result[dropped, :nd] ^= det_ref & self._direct_detector_mask
 
         if compute_reference:
             assert reference is not None
-            return result, reference, was_discarded
-        return result, None, was_discarded
+            return result, reference, dropped
+        return result, None, dropped
 
     def _native_baseline(self) -> np.ndarray:
         """Deterministic noiseless DETECTOR outputs: the frame sampler

@@ -946,9 +946,7 @@ def gadgetize_magic(g: ZXGraph) -> bool:
     return changed
 
 
-def plan_projector_cover(
-    g: ZXGraph, gadgets, restarts: int = 512, stale_limit: int = 64
-) -> list[tuple]:
+def plan_projector_cover(g: ZXGraph, gadgets, restarts: int = 512) -> list[tuple]:
     """Min-rank perfect matching over projector-splittable gadget pairs.
 
     Returns a list of ``(i, j, vec)`` gadget-index pairs with their
