@@ -135,3 +135,53 @@ def test_grown_term_count_pin(grown_sampler):
     ]
     assert max(counts) <= 64, counts
     assert sum(counts) <= 157, counts
+
+
+@pytest.fixture(scope="module")
+def grown2_sampler():
+    """Full-protocol checks=2 at benchmark noise (the round-4 plateau
+    workload: its full plug compiled to 19,564 terms before rank peeling)."""
+    return cultivation_d3_grown(p=0.001, checks=2).compile_detector_sampler(
+        seed=0
+    )
+
+
+@requires_native_planner()
+def test_grown2_term_count_pin(grown2_sampler):
+    """Rank-peeling regression pin (seed 0): the checks=2 grown FULL PLUG
+    compiles to <=1100 terms (measured 1,084; 19,564 before round 5's
+    peeling step — see zx.decompose._peel_branches) and the whole ladder
+    to <=2500 (measured 2,393). The full plug dominated the full-protocol
+    cultivation benchmark panel at 8-30x below every other panel; a
+    planner change that reinflates it must fail here, not in a benchmark."""
+    counts = [
+        csg.num_graphs
+        for comp in grown2_sampler._program.components
+        for csg in comp.compiled_scalar_graphs
+    ]
+    assert max(counts) <= 1100, counts
+    assert sum(counts) <= 2500, counts
+
+
+def test_grown2_noisy_rates_plausible(grown2_sampler):
+    """Compiled-path physics at p=0.001: detector rates are small but
+    nonzero, observable mean stays near the |H_XY> value (growth keeps
+    the logical state; noise at this level shifts the mean by <~2%)."""
+    det, obs = grown2_sampler.sample(
+        1024, batch_size=1024, separate_observables=True
+    )
+    assert 0 < det.mean() < 0.05
+    assert abs(obs.mean() - OBS_MEAN) < 0.06
+
+
+def test_grown2_noiseless_physics():
+    """Noiseless checks=2 protocol: every detector deterministic zero and
+    the d=5 logical X readout keeps the |H_XY> mean — validates the peeled
+    decomposition end-to-end against closed-form physics."""
+    s = cultivation_d3_grown(p=0.0, checks=2, noise=0.0).compile_detector_sampler(
+        seed=3
+    )
+    det, obs = s.sample(2048, batch_size=2048, separate_observables=True)
+    assert det.sum() == 0
+    sigma = np.sqrt(OBS_MEAN * (1 - OBS_MEAN) / 2048)
+    assert abs(obs.mean() - OBS_MEAN) < 5 * sigma

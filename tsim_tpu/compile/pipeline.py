@@ -230,9 +230,14 @@ def _compile_component(
         first_cap = _BSS_RETRY_THRESHOLD
         if prev_count is not None:
             first_cap = max(first_cap, min(2 * prev_count, _ABS_MAX_TERMS))
-        # Thinning must extend to the escalation rounds, else a thin rung
-        # whose leader aborts the first round re-races the full field.
-        esc_variants = first_variants if thin else pair_variants
+        # Escalation rounds race the FULL field even when thinned: they
+        # only run when every first-round variant aborted, which is
+        # exactly when the thin leader is suspect. Measured on the grown-
+        # cultivation full plug: the thin shake=False leader escalates to
+        # 16,249 terms while the unraced shake=True variant lands 1,084 —
+        # and once the small variant lands, the tight budget makes the
+        # remaining escalation losers abort cheaply.
+        esc_variants = pair_variants
         rounds = [
             ("first", first_variants, first_cap),
             ("bss", bss_variants, _BSS_RETRY_THRESHOLD),
@@ -324,6 +329,18 @@ def _compile_component(
                     best_list = g_list
                     best_base = base
                     best_variant = (shake, pi_hub, drop_pen)
+                if (
+                    kind in ("escalate", "bss-escalate")
+                    and best_list is not None
+                    and len(best_list)
+                    <= max(_BSS_RETRY_THRESHOLD, 8 * (prev_count or 0))
+                ):
+                    # Escalation early exit: a landed count back in the
+                    # ladder's normal band (<=8x the previous rung) is
+                    # almost never beaten by the remaining variants, and
+                    # each of them would burn a full tight-budget abort
+                    # (~25 s on the grown full plug).
+                    break
         assert best_list is not None
         if best_variant == variant_order[0]:
             leader_streak += 1

@@ -11,7 +11,7 @@ from typing import Iterable, Sequence
 
 from ..zx.decompose import (
     DecompositionBudgetExceeded,
-    planned_magic_decomposition,
+    planned_decomposition_step,
     replace_magic_states,
     replace_u3_states,
     tcount,
@@ -104,6 +104,11 @@ def find_stab_magic(
         # Planned joint pair-projector pass first: gadgetize every magic
         # phase, plan a min-rank perfect matching, and enumerate only the
         # GF(2)-consistent branch assignments (2^rank leaves directly).
+        # Heavy plans (rank above the peel threshold) are not enumerated:
+        # one probed projector split peels the instance into 2 branches
+        # that re-plan far below rank - 1 (the full-plug plateau fix; see
+        # zx.decompose._peel_branches). Peel branches keep depth (and the
+        # full search budget); enumeration leaves descend a level.
         # Graphs the planner declines fall through to per-pair recursion.
         # Recursion leaves (depth > 0) re-plan with a small search budget:
         # their matchings are small-rank and near-greedy, and a full-budget
@@ -117,13 +122,15 @@ def find_stab_magic(
             if tcount(g) == 0:
                 results.append(g)
                 continue
-            leaves = planned_magic_decomposition(
+            step = planned_decomposition_step(
                 g, restarts=512 if depth == 0 else 32, max_terms=max_terms
             )
-            if leaves is None:
+            if step is None:
                 recurse.append(g)
             else:
-                pending.extend((leaf, depth + 1) for leaf in leaves)
+                kind, children = step
+                d = depth if kind == "peel" else depth + 1
+                pending.extend((child, d) for child in children)
         results.extend(
             _decompose(
                 recurse,

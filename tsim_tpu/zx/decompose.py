@@ -1238,6 +1238,132 @@ def _consistent_assignments(vectors: list[frozenset], max_rank: int):
     return out
 
 
+def _build_plan(g: ZXGraph, restarts: int):
+    """Gadgetize a copy of ``g`` and plan its pair-projector cover.
+
+    Returns ``(work, gadgets, pairs, rank)`` or None when planning is not
+    applicable (too few gadgets or pairs)."""
+    work = g.copy()
+    gadgetize_magic(work)
+    ts = _t_vertices(work)
+    gadgets = _projector_gadgets(work, ts)
+    if len(gadgets) < 4:
+        return None
+    pairs = plan_projector_cover(work, gadgets, restarts)
+    if len(pairs) < 2:
+        _ddebug(f"plan declined: {len(gadgets)} gadgets, {len(pairs)} pairs")
+        return None
+    rank, _ = _consistency_exprs([vec for (_, _, vec) in pairs])
+    return work, gadgets, pairs, rank
+
+
+def _independent_plan_pairs(pairs):
+    """Indices of plan pairs whose constraint vector is GF(2)-independent
+    of the preceding ones (one per enumeration dimension), in plan order."""
+    basis: dict = {}
+    indep = []
+    for idx, (_, _, vec) in enumerate(pairs):
+        v = set(vec)
+        while v:
+            piv = max(v)
+            b = basis.get(piv)
+            if b is None:
+                basis[piv] = frozenset(v)
+                indep.append(idx)
+                break
+            v ^= b
+    return indep
+
+
+# Peel while the planned enumeration rank exceeds this: one projector split
+# costs x2 branches but the re-reduced branches re-plan far below
+# rank - 1 on the heavy full-plug rungs (measured on cultivation_d3_grown
+# checks=2: root rank 14 -> children rank 9/9 after the best single peel),
+# so each peel is a net term-count win while ranks stay above the bar.
+_PEEL_RANK_THRESHOLD = 10
+# Probe the smallest-constraint-vector candidates and keep the best pair
+# (small |vec| correlates with large rank reduction, but imperfectly).
+_PEEL_PROBE_CANDIDATES = 4
+_PEEL_PROBE_RESTARTS = 128
+
+
+def _peel_branches(work: ZXGraph, gadgets, pairs) -> list[ZXGraph] | None:
+    """Rank-peeling step: split ONE planned pair as a plain 2-branch
+    projector recursion instead of enumerating the whole plan.
+
+    Probes the few independent pairs with the smallest constraint vectors:
+    for each, applies both projector branches, reduces them, and re-plans;
+    keeps the candidate whose worst branch re-plans at the lowest rank.
+    Returns the reduced nonzero branches of the winner (the caller re-plans
+    them at full strength), or None when there is nothing to peel.
+    """
+    from .simplify import full_reduce
+
+    indep = _independent_plan_pairs(pairs)
+    if not indep:
+        return None
+    cand = sorted(indep, key=lambda idx: len(pairs[idx][2]))
+    cand = cand[:_PEEL_PROBE_CANDIDATES]
+    best = None
+    for idx in cand:
+        i, j, _vec = pairs[idx]
+        l1, h1, _t1 = gadgets[i]
+        l2, h2, _t2 = gadgets[j]
+        branches = []
+        ranks = []
+        for c in (0, 1):
+            gg = work.copy()
+            apply_pair_projector(gg, l1, h1, l2, h2, c)
+            full_reduce(gg, paramSafe=True)
+            if gg.scalar.is_zero:
+                continue
+            branches.append(gg)
+            child = _build_plan(gg, _PEEL_PROBE_RESTARTS)
+            # A declined child plan means per-pair recursion over its whole
+            # magic count: score it by that worst case.
+            ranks.append(child[3] if child is not None else tcount(gg))
+        score = (max(ranks, default=0), sum(ranks))
+        if best is None or score < best[0]:
+            best = (score, branches)
+    if best is None or not best[1]:
+        return None
+    _ddebug(f"peel: chose split with child ranks score {best[0]}")
+    return best[1]
+
+
+def planned_decomposition_step(
+    g: ZXGraph,
+    restarts: int = 512,
+    max_terms: int | None = None,
+    max_rank: int = 14,
+    peel_threshold: int | None = _PEEL_RANK_THRESHOLD,
+) -> tuple[str, list[ZXGraph]] | None:
+    """One step of the planned decomposition: enumerate or peel.
+
+    Returns ``("enumerate", leaves)`` (the full consistent-branch
+    enumeration of the plan), ``("peel", branches)`` (one 2-branch
+    projector split chosen to lower the branch plan ranks; branches still
+    carry magic and should be re-planned at full search strength), or
+    None when planning is not applicable (too few gadgets/pairs, or an
+    unpeelable plan over ``max_rank`` with no term budget to arbitrate).
+    """
+    plan = _build_plan(g, restarts)
+    if plan is None:
+        return None
+    work, gadgets, pairs, rank = plan
+    if peel_threshold is not None and rank > peel_threshold:
+        branches = _peel_branches(work, gadgets, pairs)
+        if branches is not None:
+            return ("peel", branches)
+    if max_terms is None and rank > max_rank:
+        _ddebug(f"plan declined: rank {rank} > max_rank {max_rank}")
+        return None
+    leaves = _enumerate_plan(work, gadgets, pairs, rank, max_terms)
+    if leaves is None:
+        return None
+    return ("enumerate", leaves)
+
+
 def planned_magic_decomposition(
     g: ZXGraph,
     max_rank: int = 14,
@@ -1252,21 +1378,25 @@ def planned_magic_decomposition(
     budget raises BEFORE enumerating (each leaf costs a full reduction, so
     a doomed variant would otherwise burn the whole enumeration first).
     """
+    plan = _build_plan(g, restarts)
+    if plan is None:
+        return None
+    work, gadgets, pairs, rank = plan
+    if max_terms is None and rank > max_rank:
+        _ddebug(f"plan declined: rank {rank} > max_rank {max_rank}")
+        return None
+    return _enumerate_plan(work, gadgets, pairs, rank, max_terms)
+
+
+def _enumerate_plan(
+    work: ZXGraph, gadgets, pairs, rank: int, max_terms: int | None
+) -> list[ZXGraph] | None:
+    """Enumerate the consistent branch assignments of a planned cover."""
     from .simplify import full_reduce
 
     import itertools
 
-    work = g.copy()
-    gadgetize_magic(work)
-    ts = _t_vertices(work)
-    gadgets = _projector_gadgets(work, ts)
-    if len(gadgets) < 4:
-        return None
-    pairs = plan_projector_cover(work, gadgets, restarts)
-    if len(pairs) < 2:
-        _ddebug(f"plan declined: {len(gadgets)} gadgets, {len(pairs)} pairs")
-        return None
-    rank, exprs = _consistency_exprs([vec for (_, _, vec) in pairs])
+    _, exprs = _consistency_exprs([vec for (_, _, vec) in pairs])
     if max_terms is not None:
         # Budgeted mode: the 2^rank leaf count is this pass's floor, so a
         # plan already over budget aborts the variant BEFORE enumerating
@@ -1277,9 +1407,6 @@ def planned_magic_decomposition(
                 f"plan rank {rank} over budget {max_terms}: abort variant"
             )
             raise DecompositionBudgetExceeded(1 << min(rank, 62))
-    elif rank > max_rank:
-        _ddebug(f"plan declined: rank {rank} > max_rank {max_rank}")
-        return None
     assigns = [
         tuple(sum(bits[k] for k in e) & 1 for e in exprs)
         for bits in itertools.product((0, 1), repeat=rank)
