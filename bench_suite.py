@@ -47,25 +47,25 @@ def _throughput(sampler, shots, batch, repeats=3, **kw):
     return runs[-1], runs[len(runs) // 2]
 
 
-def bench_d3_distillation():
+def bench_d3_distillation(p=0.05):
     from tsim_tpu.models.distillation import distillation_d3
 
-    s = distillation_d3(p=0.05).compile_detector_sampler(seed=0)
+    s = distillation_d3(p=p).compile_detector_sampler(seed=0)
     return _throughput(s, 48 << 20, 1 << 20)
 
 
-def bench_d5_distillation():
+def bench_d5_distillation(p=0.02):
     from tsim_tpu.models.distillation import distillation_d5
 
-    s = distillation_d5(p=0.02).compile_detector_sampler(seed=0)
+    s = distillation_d5(p=p).compile_detector_sampler(seed=0)
     return _throughput(s, 16 << 20, 1 << 19)
 
 
-def bench_d3_cultivation():
+def bench_d3_cultivation(p=0.001):
     from tsim_tpu.models.cultivation import cultivation_d3
 
     _log("cultivation compile (minutes on first run)...")
-    s = cultivation_d3(p=0.001).compile_detector_sampler(seed=0)
+    s = cultivation_d3(p=p).compile_detector_sampler(seed=0)
     return _throughput(s, 1 << 19, 1 << 16, use_detector_reference_sample=True)
 
 
@@ -89,18 +89,32 @@ def bench_d3_cultivation_full():
     )
 
 
-def bench_d7_surface_code():
+def bench_d7_surface_code(p=0.001):
     from tsim_tpu.models.surface_code import rotated_surface_code_memory_z
 
     c = rotated_surface_code_memory_z(
-        7, 7, after_clifford_depolarization=0.001,
-        before_measure_flip_probability=0.001,
-        after_reset_flip_probability=0.001,
+        7, 7, after_clifford_depolarization=p,
+        before_measure_flip_probability=p,
+        after_reset_flip_probability=p,
     )
     s = c.compile_detector_sampler(seed=0)
     # First runs pay this box's pathological first-touch page-fault cost
     # on the multi-GB outputs; steady state reuses freed blocks.
     return _throughput(s, 4 << 20, 4 << 20, repeats=4)
+
+
+def bench_surface_code_scaling(d=11, p=0.002):
+    """BASELINE.md workload 2: d=5..11 memory with PAULI_CHANNEL_1/2
+    noise, 1e6-shot batched detector+observable sampling."""
+    from tsim_tpu.models.surface_code import rotated_surface_code_memory_z
+
+    c = rotated_surface_code_memory_z(
+        d, d, pauli_channel_1=(p, p / 2, p / 2),
+        pauli_channel_2=tuple([p / 15] * 15),
+        before_measure_flip_probability=p,
+    )
+    s = c.compile_detector_sampler(seed=0)
+    return _throughput(s, 1 << 20, 1 << 20, repeats=4, separate_observables=True)
 
 
 WORKLOADS = {
@@ -111,6 +125,19 @@ WORKLOADS = {
     "d3_cultivation_full": bench_d3_cultivation_full,
     "d7_surface_code": bench_d7_surface_code,
 }
+
+# Error-rate sweep (reference docs/benchmarks.svg plots time/shot VS error
+# rate p = 1e-6..1e-2; this reproduces the figure's shape with >=3 points
+# per panel, including a low-p point where host channel sampling is nearly
+# free and the direct/transport paths dominate).
+SWEEP = {
+    "d3_distillation": (bench_d3_distillation, [1e-4, 1e-3, 1e-2, 5e-2]),
+    "d5_distillation": (bench_d5_distillation, [1e-4, 1e-3, 2e-2]),
+    "d3_cultivation": (bench_d3_cultivation, [1e-4, 1e-3, 1e-2]),
+    "d7_surface_code": (bench_d7_surface_code, [1e-4, 1e-3, 1e-2]),
+}
+
+SCALING_DISTANCES = [5, 7, 9, 11]
 
 
 def _artifact_path() -> str:
@@ -128,14 +155,71 @@ def _artifact_path() -> str:
     return f"BENCH_SUITE_r{n:02d}.json"
 
 
+def _record(lines, backend, persist):
+    if persist and backend == "tpu":
+        path = _artifact_path()
+        with open(path, "a") as f:
+            for line in lines:
+                f.write(json.dumps(line) + "\n")
+        _log(f"appended {len(lines)} lines to {path}")
+
+
+def _run_sweep(backend):
+    lines = []
+    for name, (fn, ps) in SWEEP.items():
+        for p in ps:
+            _log(f"=== sweep {name} p={p} ===")
+            t0 = time.perf_counter()
+            best, median = fn(p=p)
+            line = {
+                "metric": f"{name}_sweep",
+                "p": p,
+                "value": round(best, 1),
+                "unit": "shots/s",
+                "median": round(median, 1),
+                "backend": backend,
+                "total_s": round(time.perf_counter() - t0, 1),
+            }
+            lines.append(line)
+            print(json.dumps(line), flush=True)
+    return lines
+
+
+def _run_scaling(backend):
+    lines = []
+    for d in SCALING_DISTANCES:
+        _log(f"=== surface code scaling d={d} ===")
+        t0 = time.perf_counter()
+        best, median = bench_surface_code_scaling(d=d)
+        line = {
+            "metric": "surface_code_scaling",
+            "d": d,
+            "value": round(best, 1),
+            "unit": "shots/s",
+            "median": round(median, 1),
+            "backend": backend,
+            "total_s": round(time.perf_counter() - t0, 1),
+        }
+        lines.append(line)
+        print(json.dumps(line), flush=True)
+    return lines
+
+
 def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    names = sys.argv[1:] or list(WORKLOADS)
+    args = sys.argv[1:]
     backend = jax.default_backend()
+    if args and args[0] == "sweep":
+        _record(_run_sweep(backend), backend, persist=True)
+        return
+    if args and args[0] == "scaling":
+        _record(_run_scaling(backend), backend, persist=True)
+        return
+    names = args or list(WORKLOADS)
     lines = []
     for name in names:
         _log(f"=== {name} ===")
@@ -151,13 +235,7 @@ def main():
         }
         lines.append(line)
         print(json.dumps(line), flush=True)
-    if not sys.argv[1:] and backend == "tpu":
-        # Full TPU runs persist the capture next to the driver artifacts.
-        path = _artifact_path()
-        with open(path, "a") as f:
-            for line in lines:
-                f.write(json.dumps(line) + "\n")
-        _log(f"appended {len(lines)} lines to {path}")
+    _record(lines, backend, persist=not args)
 
 
 if __name__ == "__main__":

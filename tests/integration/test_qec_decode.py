@@ -253,3 +253,27 @@ def test_d5_r5_detector_fraction_agreement():
     frac_b = det_b.mean(axis=0)
     assert det_a.shape == det_b.shape
     assert np.abs(frac_a - frac_b).max() < 0.005
+
+
+def test_d5_pauli_channel_noise_model_agreement():
+    """BASELINE.md workload-2 noise model (PAULI_CHANNEL_1 on data each
+    round, PAULI_CHANNEL_2 after each CX): ZX detector sampler vs the
+    native Pauli-frame engine, per-detector fractions within 0.5%."""
+    p = 0.004
+    circuit = rotated_surface_code_memory_z(
+        5,
+        3,
+        pauli_channel_1=(p, p / 2, p / 2),
+        pauli_channel_2=tuple([p / 15] * 15),
+        before_measure_flip_probability=p,
+    )
+    shots = 60_000
+    det_a = circuit.compile_detector_sampler(seed=5).sample(
+        shots, batch_size=30_000
+    )
+    native = NativeFrameSampler(circuit.stim_circuit, seed=6)
+    _, det_b, _ = native.sample(shots, include_measurements=False)
+    frac_a = det_a.mean(axis=0)
+    frac_b = det_b.mean(axis=0)
+    assert det_a.shape == det_b.shape
+    assert np.abs(frac_a - frac_b).max() < 0.005

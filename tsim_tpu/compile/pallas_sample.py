@@ -62,6 +62,20 @@ def _sample_bt() -> int:
         return int(os.environ.get("TSIM_TPU_SAMPLE_BT", 512))
     return 8
 
+def _small_sample_tiles() -> tuple[int, int]:
+    """(graph_tile, batch_tile) for the transposed small-G sampling path.
+
+    Overridable batch tile: at G <= 24 the per-grid-step fixed cost
+    dominates (a 1-graph rung measured 1.6 ms at bt=512 over 2^17 shots —
+    ~6 us/step of grid overhead against microseconds of math), and the
+    transposed layout's VMEM footprint is a few (G, bt) planes, so much
+    wider tiles are safe and amortize the step cost."""
+    gt, bt = _small_tiles()
+    if jax.default_backend() == "tpu":
+        bt = int(os.environ.get("TSIM_TPU_SAMPLE_SMALL_BT", bt))
+    return gt, bt
+
+
 _SQRT_HALF = np.float32(0.7071067811865476)
 
 # w^k = exp(i k pi / 4) tables, float32 exact-dyadic where possible.
@@ -419,7 +433,7 @@ def _run_sample_bucket(tables, dims, x, Bp, P):
     inputs = [tables[k] for k in _TABLE_KEYS]
     if bt_wide == 0:
         # Transposed small-G layout: one full-axis graph tile.
-        gt, bt = _small_tiles()
+        gt, bt = _small_sample_tiles()
         x_spec = pl.BlockSpec((P, bt), lambda j, i: (0, i))
         pre_spec = pl.BlockSpec((2, _GT), lambda j, i: (0, j))
         out = pl.pallas_call(
@@ -438,7 +452,8 @@ def _run_sample_bucket(tables, dims, x, Bp, P):
     # so shrink the batch tile until bt * Gt is safe (~a dozen live f32
     # planes + Mosaic double buffering inside the 16 MiB scoped limit).
     # Bp is a multiple of _sample_bt(), so every halving still divides it.
-    while bt_wide > 128 and bt_wide * _GT > (1 << 17):
+    plane_cap = int(os.environ.get("TSIM_TPU_SAMPLE_PLANE", 1 << 17))
+    while bt_wide > 128 and bt_wide * _GT > plane_cap:
         bt_wide //= 2
     n_bt, n_gt = Bp // bt_wide, Gp // _GT
     x_spec = pl.BlockSpec((bt_wide, P), lambda j, i: (i, 0))
@@ -461,7 +476,7 @@ def evaluate_abs_sample_f32(
     B, P_in = param_vals.shape
     P = max(P_in, 8)
     if circuit.num_graphs < 24:
-        gt, bt = _small_tiles()
+        gt, bt = _small_sample_tiles()
         Bp = max(bt, ((B + bt - 1) // bt) * bt)
         x = _pad_to(_pad_to(param_vals.astype(jnp.uint8), P, 1), Bp, 0).T
     else:

@@ -43,6 +43,8 @@ def rotated_surface_code_memory_z(
     before_round_data_depolarization: float = 0.0,
     before_measure_flip_probability: float = 0.0,
     after_reset_flip_probability: float = 0.0,
+    pauli_channel_1: tuple[float, float, float] | None = None,
+    pauli_channel_2: tuple[float, ...] | None = None,
     basis: str = "Z",
 ) -> Circuit:
     """Memory experiment: reset, ``rounds`` stabilizer rounds, data readout.
@@ -50,6 +52,12 @@ def rotated_surface_code_memory_z(
     ``basis="Z"`` (default) prepares/measures data in Z; ``basis="X"``
     conjugates the whole experiment by transversal H (memory-X: |+> init,
     X-basis readout, detectors on the X-type stabilizers, logical X).
+
+    ``pauli_channel_1`` (px, py, pz) replaces the per-round data
+    depolarization with a biased single-qubit Pauli channel, and
+    ``pauli_channel_2`` (15 probabilities, stim argument order) replaces
+    the two-qubit depolarization after each CX — the BASELINE.md
+    workload-2 noise model (surface-code memory with PAULI_CHANNEL_1/2).
     """
     d = distance
     if d < 2 or rounds < 1:
@@ -84,7 +92,20 @@ def rotated_surface_code_memory_z(
 
     # Interaction schedule: each stabilizer touches its data qubits in a
     # fixed local order over 4 steps (2 steps for boundary stabilizers).
+    pc1 = (
+        "PAULI_CHANNEL_1(" + ", ".join(str(x) for x in pauli_channel_1) + ")"
+        if pauli_channel_1
+        else None
+    )
+    pc2 = (
+        "PAULI_CHANNEL_2(" + ", ".join(str(x) for x in pauli_channel_2) + ")"
+        if pauli_channel_2
+        else None
+    )
+
     def _round(first: bool) -> None:
+        if pc1:
+            lines.append(f"{pc1} {all_data}")
         if p_data:
             lines.append(f"DEPOLARIZE1({p_data}) {all_data}")
         lines.append(f"H {x_anc_str}")
@@ -105,6 +126,8 @@ def rotated_surface_code_memory_z(
                 continue
             tgt = " ".join(f"{a} {b}" for a, b in pairs)
             lines.append(f"CX {tgt}")
+            if pc2:
+                lines.append(f"{pc2} {tgt}")
             if p_cx:
                 lines.append(f"DEPOLARIZE2({p_cx}) {tgt}")
             lines.append("TICK")
