@@ -168,3 +168,22 @@ def test_small_kernel_multi_graph(n_graphs):
         g.scalar.add_power(k % 5 - 2)
         graphs.append(g)
     _check_small(compile_scalar_graphs(graphs, ["f0", "f1"]))
+
+
+def test_pack_params_layout():
+    """Term-packed weights: column t*gt+g of tile j is term t of graph
+    j*gt+g (the lane-aligned slicing contract of the packed kernel)."""
+    import numpy as np
+
+    from tsim_tpu.compile.pallas_sample import _pack_params
+
+    T, Gp, P, gt = 3, 16, 5, 8
+    arr = np.arange(T * Gp * P, dtype=np.int32).reshape(T, Gp, P)
+    out = _pack_params(arr, gt)
+    assert out.shape == (Gp // gt, P, T * gt)
+    for j in range(Gp // gt):
+        for t in range(T):
+            for g in range(gt):
+                np.testing.assert_array_equal(
+                    out[j, :, t * gt + g], arr[t, j * gt + g, :]
+                )

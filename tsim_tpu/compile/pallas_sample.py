@@ -233,8 +233,117 @@ def _product_body_sample(
     return re * pr - im * pi_, re * pi_ + im * pr
 
 
+def _product_body_sample_packed(
+    dims,
+    x_ref,            # (Bt, P) uint8
+    np_cos_ref,       # (T1, Gt) f32, zeroed on dead slots
+    np_sin_ref,
+    np_pk_ref,        # (1, P, T1*Gt) bf16 term-packed params
+    hp_coeffs_ref,    # (T2, Gt) int32
+    hp_pk_ref,        # (1, P, T2*Gt) bf16
+    pp_psi_c_ref,     # (T3, Gt) int32
+    pp_psi_pk_ref,    # (1, P, T3*Gt) bf16
+    pp_phi_c_ref,
+    pp_phi_pk_ref,
+    qp_ca_ref, qp_sa_ref, qp_cb_ref, qp_sb_ref, qp_cg_ref, qp_sg_ref,
+    qp_alpha_pk_ref,  # (1, P, T4*Gt) bf16
+    qp_beta_pk_ref,
+    pre_ref,          # (2, Gt) f32
+):
+    """Wide layout with TERM-PACKED parity dots.
+
+    One (Bt, P) x (P, T*Gt) bf16 dot per family instead of one small dot
+    per term: the parity matmuls' N axis grows T-fold, so the MXU streams
+    one long contraction per family and the per-dot launch/drain overhead
+    (measured as most of the gap to the roofline at P ~ 40) amortizes.
+    Per-term factors then read lane-aligned (Bt, Gt) slices of the packed
+    parity block (Gt is a multiple of the 128-lane granule on TPU).
+    """
+    T1, T2, T3, T4, Gt = dims
+    x = x_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+    shape = (x.shape[0], Gt)
+    re = jnp.ones(shape, jnp.float32)
+    im = jnp.zeros(shape, jnp.float32)
+
+    def parities(pk_ref):
+        w = pk_ref[0]  # (P, T*Gt)
+        prod = lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Bt, T*Gt); row sums <= P, exactly integral in f32
+        return prod - 2.0 * jnp.floor(prod * 0.5)
+
+    if T1:
+        par = parities(np_pk_ref)
+        cos_t = np_cos_ref[...]
+        sin_t = np_sin_ref[...]
+        for t in range(T1):
+            p = par[:, t * Gt : (t + 1) * Gt]
+            c = cos_t[t][None, :]
+            s = sin_t[t][None, :]
+            fr = (1.0 + c) - (2.0 * c) * p
+            fi = s - (2.0 * s) * p
+            nre = re * fr - im * fi
+            nim = re * fi + im * fr
+            re, im = nre, nim
+
+    if T2:
+        par = parities(hp_pk_ref)
+        coeffs = hp_coeffs_ref[...].astype(jnp.float32)
+        total = jnp.zeros(shape, jnp.float32)
+        for t in range(T2):
+            total = total + coeffs[t][None, :] * par[:, t * Gt : (t + 1) * Gt]
+        re, im = _rot_staged(re, im, total.astype(jnp.int32) & 7)
+
+    if T3:
+        par_psi = parities(pp_psi_pk_ref)
+        par_phi = parities(pp_phi_pk_ref)
+        psi_c = pp_psi_c_ref[...].astype(jnp.float32)
+        phi_c = pp_phi_c_ref[...].astype(jnp.float32)
+        s = jnp.zeros(shape, jnp.float32)
+        for t in range(T3):
+            pc = psi_c[t][None, :]
+            qc = phi_c[t][None, :]
+            psi = pc + (1.0 - 2.0 * pc) * par_psi[:, t * Gt : (t + 1) * Gt]
+            phi = qc + (1.0 - 2.0 * qc) * par_phi[:, t * Gt : (t + 1) * Gt]
+            s = s + psi * phi
+        expo = s - 2.0 * jnp.floor(s * 0.5)
+        sign = 1.0 - 2.0 * expo
+        re = re * sign
+        im = im * sign
+
+    if T4:
+        par_a = parities(qp_alpha_pk_ref)
+        par_b = parities(qp_beta_pk_ref)
+        ca, sa = qp_ca_ref[...], qp_sa_ref[...]
+        cb, sb = qp_cb_ref[...], qp_sb_ref[...]
+        cg, sg = qp_cg_ref[...], qp_sg_ref[...]
+        for t in range(T4):
+            s_a = 1.0 - 2.0 * par_a[:, t * Gt : (t + 1) * Gt]
+            s_b = 1.0 - 2.0 * par_b[:, t * Gt : (t + 1) * Gt]
+            s_g = s_a * s_b
+            fr = 1.0 + s_a * ca[t][None, :] + s_b * cb[t][None, :] - s_g * cg[t][None, :]
+            fi = s_a * sa[t][None, :] + s_b * sb[t][None, :] - s_g * sg[t][None, :]
+            nre = re * fr - im * fi
+            nim = re * fi + im * fr
+            re, im = nre, nim
+
+    pr = pre_ref[0][None, :]
+    pi_ = pre_ref[1][None, :]
+    return re * pr - im * pi_, re * pi_ + im * pr
+
+
 def _kernel_sample(dims, *refs):
-    """Wide layout: sum across the graph (lane) axis -> (1, Bt, 2)."""
+    """Wide layout (term-packed dots): sum across lanes -> (1, Bt, 2)."""
+    out_ref = refs[-1]
+    re, im = _product_body_sample_packed(dims, *refs[:-1])
+    out_ref[...] = jnp.stack(
+        [jnp.sum(re, axis=1), jnp.sum(im, axis=1)], axis=1
+    )[None]
+
+
+def _kernel_sample_unpacked(dims, *refs):
+    """Wide layout, per-term dots (TSIM_TPU_SAMPLE_TPACK=0 fallback)."""
     out_ref = refs[-1]
     re, im = _product_body_sample(dims, False, *refs[:-1])
     out_ref[...] = jnp.stack(
@@ -261,7 +370,30 @@ def _complex_of_coeffs(c: np.ndarray) -> np.ndarray:
     return np.stack([re, im])
 
 
-def _sample_tables(blocks: dict, bias: int = 0) -> dict:
+def _use_tpack() -> bool:
+    """Term-packed parity dots for the wide layout (escape hatch)."""
+    return os.environ.get("TSIM_TPU_SAMPLE_TPACK", "1") != "0"
+
+
+def _pack_params(arr: np.ndarray, gt: int) -> np.ndarray:
+    """(T, Gp, P) family params -> (n_gt, P, Tp*gt) term-packed weights.
+
+    Column ``t*gt + g`` of tile ``j`` is term ``t`` of graph ``j*gt + g``,
+    so the packed parity dot's output slices per-term blocks lane-aligned
+    (gt is a multiple of the 128-lane granule on TPU)."""
+    T, Gp, P = arr.shape
+    Tp = max(T, 1)
+    if T == 0:
+        arr = np.zeros((1, Gp, P), arr.dtype)
+    n_gt = max(Gp // gt, 1)
+    return (
+        arr.reshape(Tp, n_gt, gt, P)
+        .transpose(1, 3, 0, 2)
+        .reshape(n_gt, P, Tp * gt)
+    )
+
+
+def _sample_tables(blocks: dict, bias: int = 0, pack_gt: int | None = None) -> dict:
     """Derive the f32 cos/sin + prefold tables from exact bucket blocks.
 
     ``bias``: per-circuit power-of-two rescale folded OUT of the prefold
@@ -294,20 +426,28 @@ def _sample_tables(blocks: dict, bias: int = 0) -> dict:
         blocks["pf_pow"][0].astype(np.float64) - bias
     )
     prec = prec * (blocks["pf_approx"][0] + 1j * blocks["pf_approx"][1])
+    if pack_gt is not None:
+        # Wide layout: params ship term-packed for the one-dot-per-family
+        # parity matmuls (see _product_body_sample_packed).
+        def prm(key):
+            return _pack_params(blocks[key], pack_gt).astype(bf16)
+    else:
+        def prm(key):
+            return blocks[key].astype(bf16)
     return dict(
         np_cos=_WC[np_ph] * live1, np_sin=_WS[np_ph] * live1,
-        np_params=blocks["np_params"].astype(bf16),
+        np_params=prm("np_params"),
         hp_coeffs=blocks["hp_coeffs"],
-        hp_params=blocks["hp_params"].astype(bf16),
+        hp_params=prm("hp_params"),
         pp_psi_c=blocks["pp_psi_c"],
-        pp_psi_p=blocks["pp_psi_p"].astype(bf16),
+        pp_psi_p=prm("pp_psi_p"),
         pp_phi_c=blocks["pp_phi_c"],
-        pp_phi_p=blocks["pp_phi_p"].astype(bf16),
+        pp_phi_p=prm("pp_phi_p"),
         qp_ca=_WC[qa] * live4, qp_sa=_WS[qa] * live4,
         qp_cb=_WC[qb] * live4, qp_sb=_WS[qb] * live4,
         qp_cg=_WC[qg] * live4, qp_sg=_WS[qg] * live4,
-        qp_alpha_p=blocks["qp_alpha_p"].astype(bf16),
-        qp_beta_p=blocks["qp_beta_p"].astype(bf16),
+        qp_alpha_p=prm("qp_alpha_p"),
+        qp_beta_p=prm("qp_beta_p"),
         pre=np.stack([prec.real, prec.imag]).astype(np.float32),
     )
 
@@ -321,7 +461,7 @@ _TABLE_KEYS = [
 ]
 
 
-def _sample_specs(dims, P, x_spec, pre_spec):
+def _sample_specs(dims, P, x_spec, pre_spec, packed=False):
     """BlockSpecs matching _TABLE_KEYS order (x first, pre last).
 
     Grid order is (graph_tile, batch_tile) with the batch axis fastest:
@@ -330,14 +470,23 @@ def _sample_specs(dims, P, x_spec, pre_spec):
     streams. The batch-major order re-streamed every table for every
     batch tile (~4 GB per heavy-rung eval; measured as a 77 ms DMA floor
     in dev/kernel_ablate.py).
+
+    ``packed``: param tables ship as (n_gt, P, T*Gt) term-packed weight
+    matrices (wide layout; see _product_body_sample_packed).
     """
     T1, T2, T3, T4, Gt = dims
 
     def s2(t):
         return pl.BlockSpec((max(t, 1), Gt), lambda j, i: (0, j))
 
-    def s3(t):
-        return pl.BlockSpec((max(t, 1), Gt, P), lambda j, i: (0, j, 0))
+    if packed:
+        def s3(t):
+            return pl.BlockSpec(
+                (1, P, max(t, 1) * Gt), lambda j, i: (j, 0, 0)
+            )
+    else:
+        def s3(t):
+            return pl.BlockSpec((max(t, 1), Gt, P), lambda j, i: (0, j, 0))
 
     return [
         x_spec,
@@ -395,7 +544,7 @@ def _sample_bias(circuit: CompiledScalarGraphs) -> int:
 def _prepared_sample_buckets(circuit: CompiledScalarGraphs, P: int):
     """Returns ``(buckets, bias)``: every bucket's prefold is scaled by
     2^-bias; the caller multiplies the summed result back."""
-    key = (id(circuit), P, jax.default_backend())
+    key = (id(circuit), P, jax.default_backend(), _use_tpack())
     entry = _SAMPLE_CACHE.get(key)
     if entry is None or entry[0] is not circuit:
         bias = _sample_bias(circuit)
@@ -406,8 +555,14 @@ def _prepared_sample_buckets(circuit: CompiledScalarGraphs, P: int):
                 (_sample_tables(blocks, bias), (T1, T2, T3, T4, Gp, Gp, 0))
             ]
         else:
+            pk = _use_tpack()
             buckets = [
-                (_sample_tables(blocks, bias), dims)
+                (
+                    _sample_tables(
+                        blocks, bias, pack_gt=dims[4] if pk else None
+                    ),
+                    dims,
+                )
                 for blocks, dims in _prepared_buckets_np(circuit, P)
             ]
         entry = (circuit, buckets, bias)
@@ -458,10 +613,12 @@ def _run_sample_bucket(tables, dims, x, Bp, P):
     n_bt, n_gt = Bp // bt_wide, Gp // _GT
     x_spec = pl.BlockSpec((bt_wide, P), lambda j, i: (i, 0))
     pre_spec = pl.BlockSpec((2, _GT), lambda j, i: (0, j))
+    pk = _use_tpack()
+    kernel = _kernel_sample if pk else _kernel_sample_unpacked
     out = pl.pallas_call(
-        functools.partial(_kernel_sample, kdims),
+        functools.partial(kernel, kdims),
         grid=(n_gt, n_bt),
-        in_specs=_sample_specs(kdims, P, x_spec, pre_spec),
+        in_specs=_sample_specs(kdims, P, x_spec, pre_spec, packed=pk),
         out_specs=pl.BlockSpec((1, bt_wide, 2), lambda j, i: (j, i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_gt, Bp, 2), jnp.float32),
         interpret=interpret,
