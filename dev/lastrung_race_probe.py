@@ -38,6 +38,7 @@ for shake in (True, False):
     for ph in (True, False):
         prev_s = set_shake(shake)
         prev_p = dz.set_pi_hub_normalize(ph)
+        t0 = time.time()
         try:
             gg = plugged.copy()
             full_reduce(gg, paramSafe=True)

@@ -37,6 +37,15 @@ _FINGERPRINT_DIRS = ("zx", "compile", "core", "noise", "stim_core", "native/src"
 
 _code_fp_cache: str | None = None
 _memory: dict[str, "CompiledEntry"] = {}
+# In-process entries pin whole CompiledProgram pytrees; bound the cache so
+# sweep-style processes (13+ heavy compiles) don't grow memory forever.
+_MEMORY_CAP = 24
+
+
+def _remember(key: str, entry: "CompiledEntry") -> None:
+    _memory[key] = entry
+    while len(_memory) > _MEMORY_CAP:
+        _memory.pop(next(iter(_memory)))
 
 
 class CompiledEntry(NamedTuple):
@@ -78,11 +87,15 @@ def _disk_dir() -> str | None:
 
 
 def _env_salt() -> str:
-    """Compile-affecting runtime configuration that the source hash misses."""
+    """Compile-affecting runtime configuration that the source hash misses.
+
+    The projector-split order salts on the value decompose actually froze
+    at import (not the live env var, which can drift after import)."""
+    from ..zx import decompose as dz
     from ..zx import native_simplify as ns
 
     planner = "native" if ns._load() is not None else "python"
-    return f"{planner}|{os.environ.get('TSIM_TPU_PROJ_SPLIT', 'after')}"
+    return f"{planner}|{dz._PROJ_ORDER}"
 
 
 def cache_key(
@@ -108,16 +121,18 @@ def fetch(key: str) -> CompiledEntry | None:
     try:
         with open(path, "rb") as fh:
             entry = CompiledEntry(*pickle.load(fh))
-    except (OSError, pickle.UnpicklingError, EOFError, TypeError):
+    except Exception:
+        # Best-effort contract: a corrupt/incompatible entry (unpickling
+        # can raise nearly anything) is a cache miss, never an error.
         return None
-    _memory[key] = entry
+    _remember(key, entry)
     return entry
 
 
 def store(key: str, entry: CompiledEntry) -> None:
     if not _enabled():
         return
-    _memory[key] = entry
+    _remember(key, entry)
     dirpath = _disk_dir()
     if dirpath is None:
         return

@@ -610,6 +610,16 @@ def _run_sample_bucket(tables, dims, x, Bp, P):
     plane_cap = int(os.environ.get("TSIM_TPU_SAMPLE_PLANE", 1 << 17))
     while bt_wide > 128 and bt_wide * _GT > plane_cap:
         bt_wide //= 2
+    if _use_tpack():
+        # The packed kernel materializes one (bt, T*Gt) f32 parity plane
+        # per family (two live at once for the psi/phi and alpha/beta
+        # pairs), so high-term buckets must also shrink the batch tile or
+        # the pallas_call exceeds Mosaic's scoped VMEM (the failure mode
+        # that killed the naive batched form this kernel replaced).
+        t_big = max(T1, T2, 2 * T3, 2 * T4, 1)
+        pack_cap = int(os.environ.get("TSIM_TPU_SAMPLE_PACK_PLANE", 1 << 21))
+        while bt_wide > 128 and bt_wide * _GT * t_big > pack_cap:
+            bt_wide //= 2
     n_bt, n_gt = Bp // bt_wide, Gp // _GT
     x_spec = pl.BlockSpec((bt_wide, P), lambda j, i: (i, 0))
     pre_spec = pl.BlockSpec((2, _GT), lambda j, i: (0, j))

@@ -94,12 +94,12 @@ def rotated_surface_code_memory_z(
     # fixed local order over 4 steps (2 steps for boundary stabilizers).
     pc1 = (
         "PAULI_CHANNEL_1(" + ", ".join(str(x) for x in pauli_channel_1) + ")"
-        if pauli_channel_1
+        if pauli_channel_1 is not None and any(pauli_channel_1)
         else None
     )
     pc2 = (
         "PAULI_CHANNEL_2(" + ", ".join(str(x) for x in pauli_channel_2) + ")"
-        if pauli_channel_2
+        if pauli_channel_2 is not None and any(pauli_channel_2)
         else None
     )
 

@@ -1253,8 +1253,8 @@ def _build_plan(g: ZXGraph, restarts: int):
     if len(pairs) < 2:
         _ddebug(f"plan declined: {len(gadgets)} gadgets, {len(pairs)} pairs")
         return None
-    rank, _ = _consistency_exprs([vec for (_, _, vec) in pairs])
-    return work, gadgets, pairs, rank
+    rank, exprs = _consistency_exprs([vec for (_, _, vec) in pairs])
+    return work, gadgets, pairs, rank, exprs
 
 
 def _independent_plan_pairs(pairs):
@@ -1322,10 +1322,15 @@ def _peel_branches(work: ZXGraph, gadgets, pairs) -> list[ZXGraph] | None:
             # A declined child plan means per-pair recursion over its whole
             # magic count: score it by that worst case.
             ranks.append(child[3] if child is not None else tcount(gg))
-        score = (max(ranks, default=0), sum(ranks))
+        if not branches:
+            # Both projector branches reduced to exact zero, so the whole
+            # graph's amplitude is zero: an empty peel is the best possible
+            # answer (the caller drops the graph entirely).
+            return []
+        score = (max(ranks), sum(ranks))
         if best is None or score < best[0]:
             best = (score, branches)
-    if best is None or not best[1]:
+    if best is None:
         return None
     _ddebug(f"peel: chose split with child ranks score {best[0]}")
     return best[1]
@@ -1350,7 +1355,7 @@ def planned_decomposition_step(
     plan = _build_plan(g, restarts)
     if plan is None:
         return None
-    work, gadgets, pairs, rank = plan
+    work, gadgets, pairs, rank, exprs = plan
     if peel_threshold is not None and rank > peel_threshold:
         branches = _peel_branches(work, gadgets, pairs)
         if branches is not None:
@@ -1358,7 +1363,7 @@ def planned_decomposition_step(
     if max_terms is None and rank > max_rank:
         _ddebug(f"plan declined: rank {rank} > max_rank {max_rank}")
         return None
-    leaves = _enumerate_plan(work, gadgets, pairs, rank, max_terms)
+    leaves = _enumerate_plan(work, gadgets, pairs, rank, exprs, max_terms)
     if leaves is None:
         return None
     return ("enumerate", leaves)
@@ -1381,22 +1386,20 @@ def planned_magic_decomposition(
     plan = _build_plan(g, restarts)
     if plan is None:
         return None
-    work, gadgets, pairs, rank = plan
+    work, gadgets, pairs, rank, exprs = plan
     if max_terms is None and rank > max_rank:
         _ddebug(f"plan declined: rank {rank} > max_rank {max_rank}")
         return None
-    return _enumerate_plan(work, gadgets, pairs, rank, max_terms)
+    return _enumerate_plan(work, gadgets, pairs, rank, exprs, max_terms)
 
 
 def _enumerate_plan(
-    work: ZXGraph, gadgets, pairs, rank: int, max_terms: int | None
+    work: ZXGraph, gadgets, pairs, rank: int, exprs, max_terms: int | None
 ) -> list[ZXGraph] | None:
     """Enumerate the consistent branch assignments of a planned cover."""
     from .simplify import full_reduce
 
     import itertools
-
-    _, exprs = _consistency_exprs([vec for (_, _, vec) in pairs])
     if max_terms is not None:
         # Budgeted mode: the 2^rank leaf count is this pass's floor, so a
         # plan already over budget aborts the variant BEFORE enumerating
