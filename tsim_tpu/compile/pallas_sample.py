@@ -375,6 +375,15 @@ def _use_tpack() -> bool:
     return os.environ.get("TSIM_TPU_SAMPLE_TPACK", "1") != "0"
 
 
+def _small_g_cutoff() -> int:
+    """Graph-count threshold below which the transposed layout is used.
+
+    The transposed layout puts graphs on sublanes and the batch on lanes,
+    so a G=32 rung pays no lane padding (the wide layout pads it 4x into
+    a 128-lane graph tile). Tunable for on-chip sweeps."""
+    return int(os.environ.get("TSIM_TPU_SAMPLE_SMALL_G", 24))
+
+
 def _pack_params(arr: np.ndarray, gt: int) -> np.ndarray:
     """(T, Gp, P) family params -> (n_gt, P, Tp*gt) term-packed weights.
 
@@ -548,7 +557,7 @@ def _prepared_sample_buckets(circuit: CompiledScalarGraphs, P: int):
     entry = _SAMPLE_CACHE.get(key)
     if entry is None or entry[0] is not circuit:
         bias = _sample_bias(circuit)
-        if circuit.num_graphs < 24:
+        if circuit.num_graphs < _small_g_cutoff():
             blocks, dims = _prepared_small(circuit, P)
             T1, T2, T3, T4, Gp = dims
             buckets = [
@@ -642,7 +651,7 @@ def evaluate_abs_sample_f32(
     """|amplitude| per batch row via the f32 sampling kernel."""
     B, P_in = param_vals.shape
     P = max(P_in, 8)
-    if circuit.num_graphs < 24:
+    if circuit.num_graphs < _small_g_cutoff():
         gt, bt = _small_sample_tiles()
         Bp = max(bt, ((B + bt - 1) // bt) * bt)
         x = _pad_to(_pad_to(param_vals.astype(jnp.uint8), P, 1), Bp, 0).T
