@@ -77,3 +77,36 @@ def test_f32_sampling_statistics_match_exact(monkeypatch):
     sigma = np.sqrt(np.maximum(exact * (1 - exact), 1e-6) / shots)
     z = np.abs(f32 - exact) / sigma
     assert z.max() < 4.0 * np.sqrt(2), (z.max(), exact, f32)
+
+
+def test_f32_eval_layout_knobs_agree(d3_sampler, monkeypatch):
+    """Layout knobs must not change results: the transposed cutoff raised
+    past a >=100-graph rung routes it through the transposed layout, and
+    the packed-dot escape hatch routes the wide layout through per-term
+    dots; both must match the exact path on the same inputs."""
+    import tsim_tpu.compile.pallas_sample as ps
+
+    csg = max(
+        (
+            c
+            for comp in d3_sampler._program.components
+            for c in comp.compiled_scalar_graphs
+        ),
+        key=lambda c: c.num_graphs,
+    )
+    assert csg.num_graphs >= 100
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, 2, size=(64, csg.n_params)).astype(np.uint8)
+    want = np.asarray(evaluate_abs(csg, vals))
+    for env, val in (
+        ("TSIM_TPU_SAMPLE_SMALL_G", "256"),  # transposed layout at G>=100
+        ("TSIM_TPU_SAMPLE_TPACK", "0"),  # wide layout, per-term dots
+    ):
+        monkeypatch.setenv(env, val)
+        ps._SAMPLE_CACHE.clear()
+        ps._SAMPLE_DEVICE_CACHE.clear()
+        got = np.asarray(evaluate_abs_sample_f32(csg, vals))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+        monkeypatch.delenv(env)
+    ps._SAMPLE_CACHE.clear()
+    ps._SAMPLE_DEVICE_CACHE.clear()

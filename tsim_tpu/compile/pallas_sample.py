@@ -553,7 +553,10 @@ def _sample_bias(circuit: CompiledScalarGraphs) -> int:
 def _prepared_sample_buckets(circuit: CompiledScalarGraphs, P: int):
     """Returns ``(buckets, bias)``: every bucket's prefold is scaled by
     2^-bias; the caller multiplies the summed result back."""
-    key = (id(circuit), P, jax.default_backend(), _use_tpack())
+    key = (
+        id(circuit), P, jax.default_backend(), _use_tpack(),
+        _small_g_cutoff(),
+    )
     entry = _SAMPLE_CACHE.get(key)
     if entry is None or entry[0] is not circuit:
         bias = _sample_bias(circuit)
