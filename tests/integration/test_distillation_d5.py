@@ -33,24 +33,24 @@ def test_d5_compiles_and_noiseless_detectors_are_silent():
 @requires_native_planner()
 def test_d3_term_count_pin():
     """Planner regression pin (seed 0): the d=3 distillation benchmark's
-    largest rung stays at <=108 terms — below the reference's published
+    largest rung stays at <=103 terms — below the reference's published
     148 (reference ``docs/benchmarks.svg`` panel 1). Term count drives
     sampling throughput directly; heuristic-cap changes that inflate it
     must fail here, not in a benchmark three rounds later."""
     sampler = distillation_d3(p=0.05).compile_detector_sampler(seed=0)
     counts = _rung_counts(sampler)
-    assert max(counts) <= 108, counts
-    assert sum(counts) <= 283, counts
+    assert max(counts) <= 103, counts
+    assert sum(counts) <= 278, counts
 
 
 @requires_native_planner()
 def test_d5_term_count_pin():
     """Planner regression pin (seed 0): d=5 distillation largest rung
-    <=142 (reference panel 2 publishes 147)."""
+    <=138 (reference panel 2 publishes 147)."""
     sampler = distillation_d5(p=0.04).compile_detector_sampler(seed=0)
     counts = _rung_counts(sampler)
-    assert max(counts) <= 142, counts
-    assert sum(counts) <= 360, counts
+    assert max(counts) <= 138, counts
+    assert sum(counts) <= 332, counts
 
 
 def test_d5_noisy_detector_rates_plausible():
