@@ -73,3 +73,18 @@ def test_distillation_style_circuit():
         M 0 1
     """
     assert_state_probs_match(text, "cat5")
+
+
+@pytest.mark.parametrize("seed", [9001, 9005, 9010, 9043])
+def test_peeled_decomposition_matches_oracle(seed, monkeypatch):
+    """Rank peeling is exact: force the peel threshold down so heavy-T
+    random circuits route through _peel_branches (probe + 2-branch
+    projector split + re-plan), and check every basis-state probability
+    against the statevector oracle. Round-5 bulk fuzz: 0 mismatches over
+    120 such circuits."""
+    import tsim_tpu.zx.decompose as dz
+
+    monkeypatch.setattr(dz, "_PEEL_RANK_THRESHOLD", 3)
+    heavy = {"T": 6, "T_DAG": 4, "H": 3, "CNOT": 3, "S": 1, "CZ": 2, "TPP2": 2}
+    text = gen_circuit_text(3 + seed % 2, 24, gate_weights=heavy, seed=seed)
+    assert_state_probs_match(text, "cat5", seed=seed)
