@@ -370,9 +370,68 @@ def _complex_of_coeffs(c: np.ndarray) -> np.ndarray:
     return np.stack([re, im])
 
 
+_TPACK_PROBE: bool | None = None
+
+
+def _tpack_probe() -> bool:
+    """One-time on-device self-test of the packed kernel's lowering.
+
+    Runs a miniature packed-layout pallas_call (one family, 2 terms,
+    one 128-lane graph tile) the first time the packed path is about to
+    be used on a TPU backend; a Mosaic lowering/compile failure flips the
+    process to the per-term fallback instead of crashing sampling."""
+    global _TPACK_PROBE
+    if _TPACK_PROBE is None:
+        try:
+            T1, Gt, P, bt = 2, 128, 8, 128
+
+            def body(x_ref, pk_ref, cos_ref, out_ref):
+                x = x_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+                w = pk_ref[0]
+                prod = lax.dot_general(
+                    x, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                par = prod - 2.0 * jnp.floor(prod * 0.5)
+                acc = jnp.ones((bt, Gt), jnp.float32)
+                for t in range(T1):
+                    acc = acc * (
+                        1.0
+                        - 2.0 * par[:, t * Gt : (t + 1) * Gt]
+                        * cos_ref[t][None, :]
+                    )
+                out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)
+
+            out = pl.pallas_call(
+                body,
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec((bt, P), lambda i: (0, 0)),
+                    pl.BlockSpec((1, P, T1 * Gt), lambda i: (0, 0, 0)),
+                    pl.BlockSpec((T1, Gt), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((bt, 1), lambda i: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct((bt, 1), jnp.float32),
+                interpret=jax.default_backend() != "tpu",
+            )(
+                jnp.zeros((bt, P), jnp.uint8),
+                jnp.zeros((1, P, T1 * Gt), jnp.bfloat16),
+                jnp.zeros((T1, Gt), jnp.float32),
+            )
+            jax.block_until_ready(out)
+            _TPACK_PROBE = True
+        except Exception:
+            _TPACK_PROBE = False
+    return _TPACK_PROBE
+
+
 def _use_tpack() -> bool:
     """Term-packed parity dots for the wide layout (escape hatch)."""
-    return os.environ.get("TSIM_TPU_SAMPLE_TPACK", "1") != "0"
+    if os.environ.get("TSIM_TPU_SAMPLE_TPACK", "1") == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return True  # interpret mode; lowering cannot fail
+    return _tpack_probe()
 
 
 def _small_g_cutoff() -> int:
