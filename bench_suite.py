@@ -74,7 +74,7 @@ def bench_d3_cultivation2():
 
     _log("2-check cultivation compile (minutes on first run)...")
     s = cultivation_d3(p=0.001, checks=2).compile_detector_sampler(seed=0)
-    return _throughput(s, 1 << 17, 1 << 14, use_detector_reference_sample=True)
+    return _throughput(s, 1 << 19, 1 << 16, use_detector_reference_sample=True)
 
 
 def bench_d3_cultivation_full():
@@ -84,8 +84,10 @@ def bench_d3_cultivation_full():
     s = cultivation_d3_grown(p=0.001, checks=2).compile_detector_sampler(
         seed=0
     )
+    # Rank peeling (round 5) cut the full plug 19.6k -> 1.1k terms, so the
+    # panel sustains far larger batches than the round-4 settings.
     return _throughput(
-        s, 1 << 19, 1 << 16, use_detector_reference_sample=True
+        s, 1 << 21, 1 << 17, use_detector_reference_sample=True
     )
 
 
