@@ -235,7 +235,8 @@ def _product_body_sample(
 
 def _product_body_sample_packed(
     dims,
-    x_ref,            # (Bt, P) uint8
+    transposed,
+    x_ref,            # wide: (Bt, P) uint8; transposed: (P, Bt)
     np_cos_ref,       # (T1, Gt) f32, zeroed on dead slots
     np_sin_ref,
     np_pk_ref,        # (1, P, T1*Gt) bf16 term-packed params
@@ -261,26 +262,45 @@ def _product_body_sample_packed(
     """
     T1, T2, T3, T4, Gt = dims
     x = x_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
-    shape = (x.shape[0], Gt)
+    if transposed:
+        shape = (Gt, x.shape[1])
+    else:
+        shape = (x.shape[0], Gt)
     re = jnp.ones(shape, jnp.float32)
     im = jnp.zeros(shape, jnp.float32)
 
+    def bc(v):
+        # Broadcast a (Gt,) per-graph vector across the batch axis.
+        return v[:, None] if transposed else v[None, :]
+
     def parities(pk_ref):
-        w = pk_ref[0]  # (P, T*Gt)
-        prod = lax.dot_general(
-            x, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Bt, T*Gt); row sums <= P, exactly integral in f32
+        if transposed:
+            w = pk_ref[...]  # (T*Gt, P)
+            prod = lax.dot_general(
+                w, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (T*Gt, Bt)
+        else:
+            w = pk_ref[0]  # (P, T*Gt)
+            prod = lax.dot_general(
+                x, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Bt, T*Gt); row sums <= P, exactly integral in f32
         return prod - 2.0 * jnp.floor(prod * 0.5)
+
+    def tslice(par, t):
+        if transposed:
+            return par[t * Gt : (t + 1) * Gt, :]
+        return par[:, t * Gt : (t + 1) * Gt]
 
     if T1:
         par = parities(np_pk_ref)
         cos_t = np_cos_ref[...]
         sin_t = np_sin_ref[...]
         for t in range(T1):
-            p = par[:, t * Gt : (t + 1) * Gt]
-            c = cos_t[t][None, :]
-            s = sin_t[t][None, :]
+            p = tslice(par, t)
+            c = bc(cos_t[t])
+            s = bc(sin_t[t])
             fr = (1.0 + c) - (2.0 * c) * p
             fi = s - (2.0 * s) * p
             nre = re * fr - im * fi
@@ -292,7 +312,7 @@ def _product_body_sample_packed(
         coeffs = hp_coeffs_ref[...].astype(jnp.float32)
         total = jnp.zeros(shape, jnp.float32)
         for t in range(T2):
-            total = total + coeffs[t][None, :] * par[:, t * Gt : (t + 1) * Gt]
+            total = total + bc(coeffs[t]) * tslice(par, t)
         re, im = _rot_staged(re, im, total.astype(jnp.int32) & 7)
 
     if T3:
@@ -302,10 +322,10 @@ def _product_body_sample_packed(
         phi_c = pp_phi_c_ref[...].astype(jnp.float32)
         s = jnp.zeros(shape, jnp.float32)
         for t in range(T3):
-            pc = psi_c[t][None, :]
-            qc = phi_c[t][None, :]
-            psi = pc + (1.0 - 2.0 * pc) * par_psi[:, t * Gt : (t + 1) * Gt]
-            phi = qc + (1.0 - 2.0 * qc) * par_phi[:, t * Gt : (t + 1) * Gt]
+            pc = bc(psi_c[t])
+            qc = bc(phi_c[t])
+            psi = pc + (1.0 - 2.0 * pc) * tslice(par_psi, t)
+            phi = qc + (1.0 - 2.0 * qc) * tslice(par_phi, t)
             s = s + psi * phi
         expo = s - 2.0 * jnp.floor(s * 0.5)
         sign = 1.0 - 2.0 * expo
@@ -319,24 +339,24 @@ def _product_body_sample_packed(
         cb, sb = qp_cb_ref[...], qp_sb_ref[...]
         cg, sg = qp_cg_ref[...], qp_sg_ref[...]
         for t in range(T4):
-            s_a = 1.0 - 2.0 * par_a[:, t * Gt : (t + 1) * Gt]
-            s_b = 1.0 - 2.0 * par_b[:, t * Gt : (t + 1) * Gt]
+            s_a = 1.0 - 2.0 * tslice(par_a, t)
+            s_b = 1.0 - 2.0 * tslice(par_b, t)
             s_g = s_a * s_b
-            fr = 1.0 + s_a * ca[t][None, :] + s_b * cb[t][None, :] - s_g * cg[t][None, :]
-            fi = s_a * sa[t][None, :] + s_b * sb[t][None, :] - s_g * sg[t][None, :]
+            fr = 1.0 + s_a * bc(ca[t]) + s_b * bc(cb[t]) - s_g * bc(cg[t])
+            fi = s_a * bc(sa[t]) + s_b * bc(sb[t]) - s_g * bc(sg[t])
             nre = re * fr - im * fi
             nim = re * fi + im * fr
             re, im = nre, nim
 
-    pr = pre_ref[0][None, :]
-    pi_ = pre_ref[1][None, :]
+    pr = bc(pre_ref[0])
+    pi_ = bc(pre_ref[1])
     return re * pr - im * pi_, re * pi_ + im * pr
 
 
 def _kernel_sample(dims, *refs):
     """Wide layout (term-packed dots): sum across lanes -> (1, Bt, 2)."""
     out_ref = refs[-1]
-    re, im = _product_body_sample_packed(dims, *refs[:-1])
+    re, im = _product_body_sample_packed(dims, False, *refs[:-1])
     out_ref[...] = jnp.stack(
         [jnp.sum(re, axis=1), jnp.sum(im, axis=1)], axis=1
     )[None]
@@ -352,7 +372,16 @@ def _kernel_sample_unpacked(dims, *refs):
 
 
 def _kernel_sample_t(dims, *refs):
-    """Transposed layout: sum across the graph (sublane) axis -> (1, 2, Bt)."""
+    """Transposed layout (term-packed): sum across sublanes -> (1, 2, Bt)."""
+    out_ref = refs[-1]
+    re, im = _product_body_sample_packed(dims, True, *refs[:-1])
+    out_ref[...] = jnp.stack(
+        [jnp.sum(re, axis=0), jnp.sum(im, axis=0)], axis=0
+    )[None]
+
+
+def _kernel_sample_t_unpacked(dims, *refs):
+    """Transposed layout, per-term dots (TSIM_TPU_SAMPLE_TPACK=0)."""
     out_ref = refs[-1]
     re, im = _product_body_sample(dims, True, *refs[:-1])
     out_ref[...] = jnp.stack(
@@ -419,6 +448,43 @@ def _tpack_probe() -> bool:
                 jnp.zeros((T1, Gt), jnp.float32),
             )
             jax.block_until_ready(out)
+
+            Gp = 8
+
+            def body_t(x_ref, pk_ref, cos_ref, out_ref):
+                x = x_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+                w = pk_ref[...]
+                prod = lax.dot_general(
+                    w, x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                par = prod - 2.0 * jnp.floor(prod * 0.5)
+                acc = jnp.ones((Gp, bt), jnp.float32)
+                for t in range(T1):
+                    acc = acc * (
+                        1.0
+                        - 2.0 * par[t * Gp : (t + 1) * Gp, :]
+                        * cos_ref[t][:, None]
+                    )
+                out_ref[...] = jnp.sum(acc, axis=0, keepdims=True)
+
+            out_t = pl.pallas_call(
+                body_t,
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec((P, bt), lambda i: (0, 0)),
+                    pl.BlockSpec((T1 * Gp, P), lambda i: (0, 0)),
+                    pl.BlockSpec((T1, Gp), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, bt), lambda i: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct((1, bt), jnp.float32),
+                interpret=jax.default_backend() != "tpu",
+            )(
+                jnp.zeros((P, bt), jnp.uint8),
+                jnp.zeros((T1 * Gp, P), jnp.bfloat16),
+                jnp.zeros((T1, Gp), jnp.float32),
+            )
+            jax.block_until_ready(out_t)
             _TPACK_PROBE = True
         except Exception:
             _TPACK_PROBE = False
@@ -461,7 +527,24 @@ def _pack_params(arr: np.ndarray, gt: int) -> np.ndarray:
     )
 
 
-def _sample_tables(blocks: dict, bias: int = 0, pack_gt: int | None = None) -> dict:
+def _pack_params_t(arr: np.ndarray) -> np.ndarray:
+    """(T, Gp, P) family params -> (Tp*Gp, P) for the transposed layout.
+
+    Row ``t*Gp + g`` is term ``t`` of graph ``g`` (a plain reshape), so
+    the packed parity dot's output slices per-term blocks sublane-aligned
+    (Gp is padded to the 8-sublane granule)."""
+    T, Gp, P = arr.shape
+    if T == 0:
+        return np.zeros((Gp, P), arr.dtype)
+    return np.ascontiguousarray(arr.reshape(T * Gp, P))
+
+
+def _sample_tables(
+    blocks: dict,
+    bias: int = 0,
+    pack_gt: int | None = None,
+    pack_small: bool = False,
+) -> dict:
     """Derive the f32 cos/sin + prefold tables from exact bucket blocks.
 
     ``bias``: per-circuit power-of-two rescale folded OUT of the prefold
@@ -499,6 +582,9 @@ def _sample_tables(blocks: dict, bias: int = 0, pack_gt: int | None = None) -> d
         # parity matmuls (see _product_body_sample_packed).
         def prm(key):
             return _pack_params(blocks[key], pack_gt).astype(bf16)
+    elif pack_small:
+        def prm(key):
+            return _pack_params_t(blocks[key]).astype(bf16)
     else:
         def prm(key):
             return blocks[key].astype(bf16)
@@ -529,7 +615,7 @@ _TABLE_KEYS = [
 ]
 
 
-def _sample_specs(dims, P, x_spec, pre_spec, packed=False):
+def _sample_specs(dims, P, x_spec, pre_spec, packed=None):
     """BlockSpecs matching _TABLE_KEYS order (x first, pre last).
 
     Grid order is (graph_tile, batch_tile) with the batch axis fastest:
@@ -547,11 +633,14 @@ def _sample_specs(dims, P, x_spec, pre_spec, packed=False):
     def s2(t):
         return pl.BlockSpec((max(t, 1), Gt), lambda j, i: (0, j))
 
-    if packed:
+    if packed == "wide":
         def s3(t):
             return pl.BlockSpec(
                 (1, P, max(t, 1) * Gt), lambda j, i: (j, 0, 0)
             )
+    elif packed == "transposed":
+        def s3(t):
+            return pl.BlockSpec((max(t, 1) * Gt, P), lambda j, i: (0, 0))
     else:
         def s3(t):
             return pl.BlockSpec((max(t, 1), Gt, P), lambda j, i: (0, j, 0))
@@ -623,7 +712,10 @@ def _prepared_sample_buckets(circuit: CompiledScalarGraphs, P: int):
             blocks, dims = _prepared_small(circuit, P)
             T1, T2, T3, T4, Gp = dims
             buckets = [
-                (_sample_tables(blocks, bias), (T1, T2, T3, T4, Gp, Gp, 0))
+                (
+                    _sample_tables(blocks, bias, pack_small=_use_tpack()),
+                    (T1, T2, T3, T4, Gp, Gp, 0),
+                )
             ]
         else:
             pk = _use_tpack()
@@ -660,12 +752,27 @@ def _run_sample_bucket(tables, dims, x, Bp, P):
     if bt_wide == 0:
         # Transposed small-G layout: one full-axis graph tile.
         gt, bt = _small_sample_tiles()
+        pk = _use_tpack()
+        if pk:
+            # The packed parity planes are (T*Gp, bt) f32, two live for
+            # the psi/phi and alpha/beta families: shrink wide batch
+            # tiles so high-term circuits stay inside scoped VMEM.
+            t_big = max(T1, T2, 2 * T3, 2 * T4, 1)
+            pack_cap = int(
+                os.environ.get("TSIM_TPU_SAMPLE_PACK_PLANE", 1 << 21)
+            )
+            while bt > 512 and bt * _GT * t_big > pack_cap:
+                bt //= 2
+        kernel = _kernel_sample_t if pk else _kernel_sample_t_unpacked
         x_spec = pl.BlockSpec((P, bt), lambda j, i: (0, i))
         pre_spec = pl.BlockSpec((2, _GT), lambda j, i: (0, j))
         out = pl.pallas_call(
-            functools.partial(_kernel_sample_t, kdims),
+            functools.partial(kernel, kdims),
             grid=(1, Bp // bt),
-            in_specs=_sample_specs(kdims, P, x_spec, pre_spec),
+            in_specs=_sample_specs(
+                kdims, P, x_spec, pre_spec,
+                packed="transposed" if pk else None,
+            ),
             out_specs=pl.BlockSpec((1, 2, bt), lambda j, i: (j, 0, i)),
             out_shape=jax.ShapeDtypeStruct((1, 2, Bp), jnp.float32),
             interpret=interpret,
@@ -699,7 +806,9 @@ def _run_sample_bucket(tables, dims, x, Bp, P):
     out = pl.pallas_call(
         functools.partial(kernel, kdims),
         grid=(n_gt, n_bt),
-        in_specs=_sample_specs(kdims, P, x_spec, pre_spec, packed=pk),
+        in_specs=_sample_specs(
+            kdims, P, x_spec, pre_spec, packed="wide" if pk else None
+        ),
         out_specs=pl.BlockSpec((1, bt_wide, 2), lambda j, i: (j, i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_gt, Bp, 2), jnp.float32),
         interpret=interpret,
