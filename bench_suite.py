@@ -135,8 +135,10 @@ WORKLOADS = {
 SWEEP = {
     "d3_distillation": (bench_d3_distillation, [1e-4, 1e-3, 1e-2, 5e-2]),
     "d5_distillation": (bench_d5_distillation, [1e-4, 1e-3, 2e-2]),
-    "d3_cultivation": (bench_d3_cultivation, [1e-4, 1e-3, 1e-2]),
     "d7_surface_code": (bench_d7_surface_code, [1e-4, 1e-3, 1e-2]),
+    # Cultivation last: each p re-runs the ZX planner (minutes of compile),
+    # so a bounded run banks the cheap panels first.
+    "d3_cultivation": (bench_d3_cultivation, [1e-4, 1e-3, 1e-2]),
 }
 
 SCALING_DISTANCES = [5, 7, 9, 11]
@@ -157,17 +159,18 @@ def _artifact_path() -> str:
     return f"BENCH_SUITE_r{n:02d}.json"
 
 
-def _record(lines, backend, persist):
+def _record_line(line, backend, persist):
+    """Append one capture line immediately: a timeout mid-run must not
+    lose the points already measured."""
+    print(json.dumps(line), flush=True)
     if persist and backend == "tpu":
         path = _artifact_path()
         with open(path, "a") as f:
-            for line in lines:
-                f.write(json.dumps(line) + "\n")
-        _log(f"appended {len(lines)} lines to {path}")
+            f.write(json.dumps(line) + "\n")
+        _log(f"appended to {path}")
 
 
-def _run_sweep(backend):
-    lines = []
+def _run_sweep(backend, persist=True):
     for name, (fn, ps) in SWEEP.items():
         for p in ps:
             _log(f"=== sweep {name} p={p} ===")
@@ -182,13 +185,10 @@ def _run_sweep(backend):
                 "backend": backend,
                 "total_s": round(time.perf_counter() - t0, 1),
             }
-            lines.append(line)
-            print(json.dumps(line), flush=True)
-    return lines
+            _record_line(line, backend, persist)
 
 
-def _run_scaling(backend):
-    lines = []
+def _run_scaling(backend, persist=True):
     for d in SCALING_DISTANCES:
         _log(f"=== surface code scaling d={d} ===")
         t0 = time.perf_counter()
@@ -202,9 +202,7 @@ def _run_scaling(backend):
             "backend": backend,
             "total_s": round(time.perf_counter() - t0, 1),
         }
-        lines.append(line)
-        print(json.dumps(line), flush=True)
-    return lines
+        _record_line(line, backend, persist)
 
 
 def main():
@@ -216,13 +214,15 @@ def main():
     args = sys.argv[1:]
     backend = jax.default_backend()
     if args and args[0] == "sweep":
-        _record(_run_sweep(backend), backend, persist=True)
+        _run_sweep(backend)
         return
     if args and args[0] == "scaling":
-        _record(_run_scaling(backend), backend, persist=True)
+        _run_scaling(backend)
         return
     names = args or list(WORKLOADS)
-    lines = []
+    # Named-panel runs persist too when asked (TSIM_TPU_BENCH_PERSIST=1):
+    # a bounded capture session runs panels one at a time.
+    persist = not args or os.environ.get("TSIM_TPU_BENCH_PERSIST") == "1"
     for name in names:
         _log(f"=== {name} ===")
         t0 = time.perf_counter()
@@ -235,9 +235,7 @@ def main():
             "backend": backend,
             "total_s": round(time.perf_counter() - t0, 1),
         }
-        lines.append(line)
-        print(json.dumps(line), flush=True)
-    _record(lines, backend, persist=not args)
+        _record_line(line, backend, persist)
 
 
 if __name__ == "__main__":

@@ -919,10 +919,7 @@ class _CompiledSamplerBase:
             max_dev = np.maximum(max_dev, np.asarray(dev_h))
         _check_norm_deviation(max_dev)
 
-        if compute_reference:
-            assert reference is not None
-            return result, reference
-        return result
+        return (result, reference) if compute_reference else result
 
     def _sample_batches_with_postselection(
         self,
@@ -930,8 +927,8 @@ class _CompiledSamplerBase:
         batch_size: int | None,
         *,
         postselection_mask: np.ndarray,
+        fold_detector_reference: bool = False,
         compute_reference: bool = False,
-        xor_detector_ref: bool = False,
     ):
         """Postselected sampling: direct-discarded shots never reach JAX."""
         self._validate_shot_args(shots, batch_size)
@@ -952,7 +949,7 @@ class _CompiledSamplerBase:
             # discarded here (the caller applies the mask to the rows).
             rows = self._sample_direct(shots)
             ref = self._compute_reference_sample() if compute_reference else None
-            if ref is not None and xor_detector_ref:
+            if ref is not None and fold_detector_reference:
                 nd = self._num_detectors
                 rows[:, :nd] ^= ref[:nd]
             return rows, ref, np.zeros(shots, dtype=np.bool_)
@@ -1022,7 +1019,7 @@ class _CompiledSamplerBase:
         # folds into one precomputed masked pattern instead of a per-chunk
         # XOR over the whole detector block.
         masked_ref = None
-        if xor_detector_ref and reference is not None:
+        if fold_detector_reference and reference is not None:
             masked_ref = reference[:nd] & postselect_direct
 
         try:
@@ -1049,7 +1046,7 @@ class _CompiledSamplerBase:
         finally:
             fetch_pool.shutdown(wait=False, cancel_futures=True)
 
-        if xor_detector_ref and reference is not None:
+        if fold_detector_reference and reference is not None:
             det_ref = reference[:nd]
             result[~dropped, :nd] ^= det_ref
             result[dropped, :nd] ^= det_ref & self._direct_detector_mask
@@ -1182,23 +1179,41 @@ class CompiledDetectorSampler(_CompiledSamplerBase):
             strategy=strategy, mesh=mesh,
         )
 
+    def _coerce_postselection_mask(self, mask) -> np.ndarray | None:
+        """Validate a user postselection mask; collapse it to None whenever
+        the Clifford prefilter has nothing to act on (no direct detector is
+        selected, or the whole program is direct) — those cases sample
+        identically through the plain batched path."""
+        if mask is None:
+            return None
+        mask = np.asarray(mask, dtype=np.bool_)
+        if mask.shape != (self._num_detectors,):
+            raise ValueError(
+                f"postselection_mask must have shape ({self._num_detectors},), "
+                f"got {mask.shape}"
+            )
+        prefilterable = self._program.components and (
+            mask & self._direct_detector_mask
+        ).any()
+        return mask if prefilterable else None
+
     def sample(
         self,
         shots: int,
         *,
         batch_size: int | None = None,
+        bit_packed: bool = False,
+        postselection_mask: np.ndarray | None = None,
+        use_detector_reference_sample: bool = False,
+        use_observable_reference_sample: bool = False,
         prepend_observables: bool = False,
         append_observables: bool = False,
         separate_observables: bool = False,
-        bit_packed: bool = False,
-        use_detector_reference_sample: bool = False,
-        use_observable_reference_sample: bool = False,
-        postselection_mask: np.ndarray | None = None,
     ):
         if separate_observables and (prepend_observables or append_observables):
             raise ValueError(
-                "Can't specify separate_observables=True with "
-                "append_observables=True or prepend_observables=True"
+                "separate_observables=True is mutually exclusive with the "
+                "prepend/append observable layouts"
             )
         compute_reference = (
             use_detector_reference_sample or use_observable_reference_sample
@@ -1245,49 +1260,36 @@ class CompiledDetectorSampler(_CompiledSamplerBase):
                     return np.concatenate([det, obs], axis=1)
                 return det
 
-        if postselection_mask is not None:
-            mask = np.asarray(postselection_mask, dtype=np.bool_)
-            if mask.shape != (self._num_detectors,):
-                raise ValueError(
-                    f"postselection_mask must have shape ({self._num_detectors},), "
-                    f"got {mask.shape}"
-                )
-            postselection_mask = mask
-            if (
-                not (postselection_mask & self._direct_detector_mask).any()
-                or not self._program.components
-            ):
-                postselection_mask = None
+        prefilter_mask = self._coerce_postselection_mask(postselection_mask)
+        nd = self._num_detectors
 
-        if postselection_mask is not None:
+        if prefilter_mask is None:
+            # Plain batched path. Reference folds (detector and observable)
+            # apply uniformly across every shot.
             if compute_reference:
-                samples, reference, direct_discarded = (
-                    self._sample_batches_with_postselection(
-                        shots,
-                        batch_size,
-                        postselection_mask=postselection_mask,
-                        compute_reference=True,
-                        xor_detector_ref=use_detector_reference_sample,
-                    )
+                samples, reference = self._sample_batches(
+                    shots, batch_size, compute_reference=True
                 )
-                assert reference is not None
+                if use_detector_reference_sample:
+                    samples[:, :nd] ^= reference[:nd]
                 if use_observable_reference_sample:
-                    obs_ref = reference[self._num_detectors :]
-                    samples[~direct_discarded, self._num_detectors :] ^= obs_ref
+                    samples[:, nd:] ^= reference[nd:]
             else:
-                samples, _, _ = self._sample_batches_with_postselection(
-                    shots, batch_size, postselection_mask=postselection_mask
-                )
-        elif compute_reference:
-            samples, reference = self._sample_batches(
-                shots, batch_size, compute_reference=True
-            )
-            if use_detector_reference_sample:
-                samples[:, : self._num_detectors] ^= reference[: self._num_detectors]
-            if use_observable_reference_sample:
-                samples[:, self._num_detectors :] ^= reference[self._num_detectors :]
+                samples = self._sample_batches(shots, batch_size)
         else:
-            samples = self._sample_batches(shots, batch_size)
+            # Prefiltered path: the detector fold happens inside (it decides
+            # which rows the Clifford prefilter discards); discarded rows are
+            # never device-evaluated, so the observable fold only touches the
+            # survivors.
+            samples, reference, dropped = self._sample_batches_with_postselection(
+                shots,
+                batch_size,
+                postselection_mask=prefilter_mask,
+                fold_detector_reference=use_detector_reference_sample,
+                compute_reference=compute_reference,
+            )
+            if use_observable_reference_sample:
+                samples[~dropped, nd:] ^= reference[nd:]
 
         det = samples[:, : self._num_detectors]
         obs = samples[:, self._num_detectors :]
