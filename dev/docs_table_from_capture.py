@@ -50,5 +50,46 @@ def main():
         )
 
 
+def _load_lines(path):
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                yield json.loads(line)
+
+
+def main_sweep(path):
+    """Markdown table of the error-rate sweep (one row per panel+p)."""
+    rows = {}
+    for d in _load_lines(path):
+        if d.get("metric", "").endswith("_sweep"):
+            rows[(d["metric"][: -len("_sweep")], d["p"])] = d  # last wins
+    print("| workload | p | best shots/s | median |")
+    print("|---|---|---|---|")
+    for (name, p), d in sorted(rows.items()):
+        print(f"| {name} | {p:g} | {fmt(d['value'])} | {fmt(d['median'])} |")
+
+
+def main_scaling(path):
+    """Markdown table of surface-code memory scaling (one row per d)."""
+    rows = {}
+    for d in _load_lines(path):
+        if d.get("metric") == "surface_code_scaling":
+            rows[d["d"]] = d  # last wins
+    print("| distance | best shots/s | median |")
+    print("|---|---|---|")
+    for dist, d in sorted(rows.items()):
+        print(f"| d={dist} | {fmt(d['value'])} | {fmt(d['median'])} |")
+
+
 if __name__ == "__main__":
-    main()
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    mode = next((a for a in args if a in ("sweep", "scaling")), None)
+    paths = [a for a in args if a not in ("sweep", "scaling")]
+    path = paths[0] if paths else "BENCH_SUITE_r05.json"
+    if mode == "sweep":
+        main_sweep(path)
+    elif mode == "scaling":
+        main_scaling(path)
+    else:
+        main()
