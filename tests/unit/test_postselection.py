@@ -69,6 +69,41 @@ def test_invalid_batch_size_raises():
         _sampler().sample(10, batch_size=0, postselection_mask=_mask(0))
 
 
+# --------------------------------------------------------- mask coercion
+def test_coerce_mask_none_passthrough():
+    assert _sampler()._coerce_postselection_mask(None) is None
+
+
+def test_coerce_mask_collapses_without_direct_overlap():
+    # MIXED's detector 1 is component-backed: a mask selecting only it
+    # gives the prefilter nothing to act on, so it collapses to None.
+    s = _sampler()
+    direct = np.asarray(s._direct_detector_mask)
+    non_direct = _mask(*np.flatnonzero(~direct))
+    assert s._coerce_postselection_mask(non_direct) is None
+
+
+def test_coerce_mask_collapses_on_fully_direct_program():
+    s = tsim_tpu.Circuit(DIRECT_ONLY).compile_detector_sampler(seed=0)
+    assert s._coerce_postselection_mask(_mask(0)) is None
+
+
+def test_coerce_mask_keeps_prefilterable_mask():
+    s = _sampler()
+    direct = np.flatnonzero(np.asarray(s._direct_detector_mask))
+    kept = s._coerce_postselection_mask(_mask(direct[0]))
+    assert kept is not None and kept.dtype == np.bool_ and kept[direct[0]]
+
+
+def test_coerce_mask_accepts_int_array():
+    s = _sampler()
+    direct = np.flatnonzero(np.asarray(s._direct_detector_mask))
+    as_int = np.zeros(2, dtype=np.int64)
+    as_int[direct[0]] = 1
+    kept = s._coerce_postselection_mask(as_int)
+    assert kept is not None and kept.dtype == np.bool_
+
+
 # --------------------------------------------------------- defaults/shape
 def test_none_mask_matches_default():
     a = _sampler(seed=3).sample(500, batch_size=500)
